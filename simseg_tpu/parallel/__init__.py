@@ -1,0 +1,21 @@
+from simseg_tpu.parallel.mesh import (
+    DATA_AXIS,
+    REPLICA_AXIS,
+    data_sharding,
+    init_distributed,
+    local_batch_size,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "REPLICA_AXIS",
+    "data_sharding",
+    "init_distributed",
+    "local_batch_size",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+]

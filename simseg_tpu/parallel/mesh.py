@@ -1,0 +1,84 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's NCCL process-group layer
+(``simseg/core/initial.py:52-54`` init_process_group and
+``simseg/utils/dist.py:371-428`` generate_local_groups): instead of
+host-aware NCCL subgroups we build a ``jax.sharding.Mesh`` whose axes encode
+the same structure —
+
+- ``data``: the pure data-parallel axis (gradients averaged by XLA).
+- optional ``group`` sub-axis: when the contrastive loss should only share
+  negatives within a subset of devices (reference ``cfg.loss.group_size``),
+  the mesh is reshaped to ('replica', 'group') so the gather rides the
+  fastest ICI links, exactly what generate_local_groups' hostname trick
+  approximated on GPU clusters.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+REPLICA_AXIS = "replica"
+
+
+def init_distributed() -> None:
+    """Initialize multi-host JAX if launched under a pod runtime
+    (parity: core/initial.py:52-54; here jax.distributed over ICI/DCN)."""
+    if os.environ.get("COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    group_size: int = -1,
+) -> Mesh:
+    """Build a 1-D data mesh, or a ('replica', 'data') mesh when the
+    contrastive gather is limited to groups of ``group_size`` devices.
+
+    With group_size <= 0 (reference default: gather over the world) the mesh
+    is Mesh(devices, ('data',)). Otherwise devices are folded into
+    (n_groups, group_size) with the gather axis innermost so the all-gather
+    stays on the densest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if group_size is None or group_size <= 0 or group_size >= n:
+        return Mesh(np.array(devices), (DATA_AXIS,))
+    if n % group_size != 0:
+        raise ValueError(f"group_size {group_size} must divide device count {n}")
+    arr = np.array(devices).reshape(n // group_size, group_size)
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over every mesh axis."""
+    return NamedSharding(mesh, P(mesh.axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host pytree batch onto the mesh, batch-dim sharded."""
+    sharding = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
+    n = mesh.devices.size
+    if global_batch_size % n != 0:
+        raise ValueError(
+            f"global batch size {global_batch_size} not divisible by "
+            f"device count {n}"
+        )
+    return global_batch_size // n

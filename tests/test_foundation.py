@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simseg_tpu.utils.metrics import (
+    intersect_and_union,
+    mean_iou,
+    miou_from_totals,
+    topk_accuracy,
+)
+from simseg_tpu.utils.prompts import IMAGENET_TEMPLATES, openai_imagenet_template
+from simseg_tpu.utils.registry import Registry, build_from_cfg
+from simseg_tpu.parallel import make_mesh, shard_batch, local_batch_size
+
+
+def test_registry():
+    R = Registry("TEST")
+
+    @R.register
+    def thing(cfg, scale=1):
+        return cfg["x"] * scale
+
+    @R.register(name="alias")
+    def other(cfg):
+        return -cfg["x"]
+
+    assert build_from_cfg("thing", {"x": 3}, R, scale=2) == 6
+    assert build_from_cfg("alias", {"x": 3}, R) == -3
+    with pytest.raises(KeyError):
+        R.get("missing")
+    with pytest.raises(KeyError):
+        R.register(thing)
+
+
+def test_prompt_bank():
+    assert len(IMAGENET_TEMPLATES) == 80
+    out = openai_imagenet_template("dog")
+    assert len(out) == 80
+    assert out[39] == "a photo of a dog."
+    assert all("{}" not in t for t in out)
+
+
+def test_intersect_and_union_matches_numpy():
+    rng = np.random.default_rng(0)
+    pred = rng.integers(0, 5, size=(31, 47))
+    label = rng.integers(0, 5, size=(31, 47))
+    label[0, :10] = 255  # ignore region
+    i, u, p, l = jax.jit(intersect_and_union, static_argnums=(2, 3))(
+        jnp.asarray(pred), jnp.asarray(label), 5, 255
+    )
+    valid = label != 255
+    for c in range(5):
+        np_i = np.sum((pred == c) & (label == c) & valid)
+        np_p = np.sum((pred == c) & valid)
+        np_l = np.sum((label == c) & valid)
+        assert int(i[c]) == np_i
+        assert int(p[c]) == np_p
+        assert int(l[c]) == np_l
+        assert int(u[c]) == np_p + np_l - np_i
+
+
+def test_mean_iou_perfect_prediction():
+    label = np.tile(np.arange(4, dtype=np.int32), (8, 1))
+    ti, tu = mean_iou([label], [label], num_classes=4, ignore_index=255)
+    iou, m = miou_from_totals(ti, tu)
+    assert np.allclose(iou, 1.0)
+    assert m == 1.0
+
+
+def test_miou_nan_classes_skipped():
+    # class 3 never appears: IoU nan, excluded from the mean
+    label = np.zeros((4, 4), dtype=np.int32)
+    pred = np.zeros((4, 4), dtype=np.int32)
+    pred[0, 0] = 1
+    label[0, 0] = 1
+    ti, tu = mean_iou([pred], [label], num_classes=4, ignore_index=255)
+    iou, m = miou_from_totals(ti, tu)
+    assert np.isnan(iou[2]) and np.isnan(iou[3])
+    assert m == 1.0
+
+
+def test_topk_accuracy():
+    logits = jnp.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1], [0.2, 0.3, 0.5]])
+    targets = jnp.array([1, 0, 0])
+    acc1, acc2 = topk_accuracy(logits, targets, ks=(1, 2))
+    assert float(acc1) == pytest.approx(2 / 3)
+    assert float(acc2) == pytest.approx(2 / 3)
+
+
+def test_mesh_and_sharding():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data",)
+    assert local_batch_size(16, mesh) == 2
+
+    grouped = make_mesh(group_size=4)
+    assert grouped.axis_names == ("replica", "data")
+    assert grouped.devices.shape == (2, 4)
+
+    batch = {"x": np.arange(16.0).reshape(16, 1)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.is_fully_addressable
+    np.testing.assert_allclose(np.asarray(sharded["x"]), batch["x"])
+
+    with pytest.raises(ValueError):
+        make_mesh(group_size=3)
+    with pytest.raises(ValueError):
+        local_batch_size(17, mesh)
