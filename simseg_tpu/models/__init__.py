@@ -1,0 +1,18 @@
+from simseg_tpu.models.bert import BERT_CONFIGS, BertEncoder, build_bert
+from simseg_tpu.models.clip import CLIPModel, PIPELINE, build_clip_model
+from simseg_tpu.models.projection import ComplexProjection, SimpleProjection
+from simseg_tpu.models.vit import VIT_CONFIGS, VisionTransformer, build_vit
+
+__all__ = [
+    "BERT_CONFIGS",
+    "BertEncoder",
+    "build_bert",
+    "CLIPModel",
+    "PIPELINE",
+    "build_clip_model",
+    "ComplexProjection",
+    "SimpleProjection",
+    "VIT_CONFIGS",
+    "VisionTransformer",
+    "build_vit",
+]

@@ -1,0 +1,113 @@
+"""BERT text encoder (bert-base-uncased layout) returning last hidden state.
+
+Parity: reference ``simseg/models/backbones/mml/huggingface_builder.py:6-23``
+(HF AutoModel with ``add_pooling_layer=False``; only ``last_hidden_state`` is
+consumed, ``pipelines/clip.py:220-223``). The architecture matches HF
+``BertModel``: word/position/token-type embeddings + LayerNorm(eps 1e-12),
+post-LN encoder blocks with separate q/k/v projections, exact GELU
+intermediate, additive padding mask.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from simseg_tpu.ops.attention import multi_head_attention, padding_bias
+
+
+class BertLayer(nn.Module):
+    num_heads: int
+    intermediate_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d = x.shape[-1]
+        q = nn.Dense(d, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="key")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="value")(x)
+        attn = multi_head_attention(q, k, v, self.num_heads, attention_bias, self.dtype)
+        attn = nn.Dense(d, dtype=self.dtype, name="attention_output")(attn)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="attention_norm")(x + attn)
+
+        inter = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="intermediate")(x)
+        inter = nn.gelu(inter, approximate=False)
+        out = nn.Dense(d, dtype=self.dtype, name="output")(inter)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="output_norm")(x + out)
+
+
+class BertEncoder(nn.Module):
+    vocab_size: int = 30522
+    hidden_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    intermediate_dim: int = 3072
+    max_position: int = 512
+    type_vocab_size: int = 2
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """input_ids: (B, T) int32. Returns last_hidden_state (B, T, D)."""
+        b, t = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        position_ids = jnp.arange(t, dtype=jnp.int32)[None, :]
+
+        word = nn.Embed(self.vocab_size, self.hidden_dim, dtype=self.dtype,
+                        name="word_embeddings")(input_ids)
+        pos = nn.Embed(self.max_position, self.hidden_dim, dtype=self.dtype,
+                       name="position_embeddings")(position_ids)
+        typ = nn.Embed(self.type_vocab_size, self.hidden_dim, dtype=self.dtype,
+                       name="token_type_embeddings")(token_type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="embeddings_norm")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        bias = None
+        if attention_mask is not None:
+            bias = padding_bias(attention_mask, jnp.float32)
+
+        for i in range(self.depth):
+            x = BertLayer(
+                self.num_heads, self.intermediate_dim, self.dropout, self.dtype,
+                name=f"layer_{i}",
+            )(x, bias, deterministic)
+        return x
+
+
+BERT_CONFIGS = {
+    # tiny config for fast unit tests
+    "bert_test": dict(
+        vocab_size=128, hidden_dim=32, depth=2, num_heads=2,
+        intermediate_dim=64, max_position=64, type_vocab_size=2,
+    ),
+    "bert-base-uncased": dict(
+        vocab_size=30522, hidden_dim=768, depth=12, num_heads=12,
+        intermediate_dim=3072, max_position=512, type_vocab_size=2,
+    ),
+}
+
+
+def build_bert(tag: str, dtype: jnp.dtype = jnp.float32, dropout: float = 0.0) -> BertEncoder:
+    if tag not in BERT_CONFIGS:
+        raise KeyError(f"Unknown BERT tag '{tag}'; known: {sorted(BERT_CONFIGS)}")
+    return BertEncoder(dtype=dtype, dropout=dropout, **BERT_CONFIGS[tag])

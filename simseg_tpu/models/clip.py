@@ -1,0 +1,200 @@
+"""Two-tower CLIP pipeline: ViT image tower + BERT text tower + projections
++ LoDA pooling + learnable temperature.
+
+Parity: reference ``simseg/models/pipelines/clip.py:13-229`` (CLIPModel):
+- forward_image_feature (:65-84): full token sequence; identity pool -> CLS
+  token only, otherwise patch tokens ``[:, 1:]``
+- forward_image_project (:87-93): projection -> pool -> L2 norm when the
+  projection is 'simple'
+- forward_text_feature (:96-108): tokens from ``target_token_idx`` on
+- forward_text_project (:111-120): projection -> masked pool -> L2 norm
+- temperature clamp [0.001, 0.5] lives with the loss in the reference
+  (mml_loss.py:56); here the (optionally learnable) temperature is a model
+  parameter surfaced by ``__call__`` so pure loss fns and BSGS can use it.
+
+The module is pure: ``__call__(batch, embeddings=...)`` returns embeddings
+(+ temperature); losses are pure functions in ``simseg_tpu.ops.losses``
+applied by the train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from simseg_tpu.models.bert import build_bert
+from simseg_tpu.models.projection import ComplexProjection, SimpleProjection
+from simseg_tpu.models.vit import build_vit
+from simseg_tpu.ops.pooling import avg_pool, l2_normalize, topk_pool
+from simseg_tpu.utils.registry import Registry
+
+PIPELINE = Registry("PIPELINE")
+
+
+class CLIPModel(nn.Module):
+    # image tower
+    image_tag: str = "vit_base_patch16_224_in21k"
+    img_size: int = 224
+    # text tower
+    text_tag: str = "bert-base-uncased"
+    target_token_idx: int = 0
+    # projection
+    projection_name: str = "simple"  # simple | complex
+    projection_dim: int = 512
+    projection_dropout: float = 0.1
+    # pooling
+    pool_name: str = "loda"  # loda | avg | identity
+    image_k: int = 5
+    text_k: int = 1
+    # temperature
+    temperature_name: str = "parameter"  # parameter | constant
+    temperature_init: float = 0.02
+    # numerics
+    dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
+
+    def setup(self) -> None:
+        self.image_encoder = build_vit(self.image_tag, self.img_size, self.dtype,
+                                       self.dropout)
+        self.text_encoder = build_bert(self.text_tag, self.dtype, self.dropout)
+        proj = {
+            "simple": lambda name: SimpleProjection(self.projection_dim, self.dtype,
+                                                    name=name),
+            "complex": lambda name: ComplexProjection(self.projection_dim,
+                                                      self.projection_dropout,
+                                                      self.dtype, name=name),
+        }
+        if self.projection_name not in proj:
+            raise NotImplementedError(f"projection '{self.projection_name}'")
+        self.image_projection = proj[self.projection_name]("image_projection")
+        self.text_projection = proj[self.projection_name]("text_projection")
+
+        if self.temperature_name == "parameter":
+            self.temperature_param = self.param(
+                "temperature", lambda _key: jnp.asarray(self.temperature_init, jnp.float32)
+            )
+        elif self.temperature_name != "constant":
+            raise NotImplementedError(f"temperature '{self.temperature_name}'")
+
+    # -- temperature -----------------------------------------------------------
+    def temperature(self) -> jnp.ndarray:
+        """Clamped temperature (parity: mml_loss.py:56)."""
+        if self.temperature_name == "parameter":
+            t = self.temperature_param
+        else:
+            t = jnp.asarray(self.temperature_init, jnp.float32)
+        return jnp.clip(t, 0.001, 0.5)
+
+    # -- image tower -------------------------------------------------------------
+    def forward_image_feature(self, images: jnp.ndarray,
+                              deterministic: bool = True) -> jnp.ndarray:
+        """(B, H, W, 3) -> token features. identity pool: CLS (B, D);
+        otherwise patch tokens (B, N, D)."""
+        tokens = self.image_encoder(images, deterministic)
+        if self.pool_name == "identity":
+            return tokens[:, 0]
+        return tokens[:, 1:]
+
+    def forward_image_tokens(self, images: jnp.ndarray,
+                             deterministic: bool = True) -> jnp.ndarray:
+        """Full (B, 1+N, D) sequence (seg eval needs both CLS and patches)."""
+        return self.image_encoder(images, deterministic)
+
+    def forward_image_project(self, image_features: jnp.ndarray,
+                              deterministic: bool = True) -> jnp.ndarray:
+        x = self.image_projection(image_features, deterministic)
+        if self.pool_name == "loda":
+            x = topk_pool(x, self.image_k)
+        elif self.pool_name == "avg":
+            x = avg_pool(x)
+        if self.projection_name == "simple":
+            x = l2_normalize(x)
+        return x
+
+    def project_image_tokens(self, image_features: jnp.ndarray,
+                             deterministic: bool = True) -> jnp.ndarray:
+        """Per-token projection without pooling (dense seg maps,
+        parity: seg_evaluation.py:102)."""
+        return self.image_projection(image_features, deterministic)
+
+    # -- text tower ---------------------------------------------------------------
+    def forward_text_feature(self, input_ids: jnp.ndarray,
+                             attention_mask: jnp.ndarray,
+                             deterministic: bool = True) -> jnp.ndarray:
+        hidden = self.text_encoder(input_ids, attention_mask,
+                                   deterministic=deterministic)
+        if self.pool_name == "identity":
+            return hidden[:, self.target_token_idx]
+        return hidden[:, self.target_token_idx:]
+
+    def forward_text_project(self, text_features: jnp.ndarray,
+                             attention_mask: Optional[jnp.ndarray],
+                             deterministic: bool = True) -> jnp.ndarray:
+        x = self.text_projection(text_features, deterministic)
+        if self.pool_name == "loda":
+            mask = None
+            if attention_mask is not None:
+                mask = attention_mask[:, self.target_token_idx:]
+            x = topk_pool(x, self.text_k, mask)
+        elif self.pool_name == "avg":
+            mask = None
+            if attention_mask is not None:
+                mask = attention_mask[:, self.target_token_idx:]
+            x = avg_pool(x, mask)
+        if self.projection_name == "simple":
+            x = l2_normalize(x)
+        return x
+
+    # -- joint ----------------------------------------------------------------------
+    def __call__(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        embeddings: Any = "all",
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, ...]:
+        """parity: pipelines/clip.py:152-176 forward. Returns
+        (image_emb, text_emb, temperature) for embeddings='all'; single-tower
+        raw features for embeddings='image'/'text'."""
+        if embeddings == "image":
+            return self.forward_image_feature(batch["image"], deterministic)
+        if embeddings == "text":
+            return self.forward_text_feature(
+                batch["input_ids"], batch["attention_mask"], deterministic
+            )
+        img = self.forward_image_feature(batch["image"], deterministic)
+        txt = self.forward_text_feature(
+            batch["input_ids"], batch["attention_mask"], deterministic
+        )
+        img = self.forward_image_project(img, deterministic)
+        txt = self.forward_text_project(txt, batch["attention_mask"], deterministic)
+        return img, txt, self.temperature()
+
+
+def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None) -> CLIPModel:
+    """Construct the CLIP pipeline from a config tree
+    (parity: pipelines/clip.py:226-229 registered factory)."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.dist.get("bf16", False) else jnp.float32
+    m = cfg.model
+    return CLIPModel(
+        image_tag=m.image_encoder.tag,
+        img_size=cfg.transforms.input_size,
+        text_tag=m.text_encoder.tag,
+        target_token_idx=m.text_encoder.target_token_idx,
+        projection_name=m.projection.name,
+        projection_dim=m.projection.dim,
+        projection_dropout=m.projection.get("complex_projection", {}).get("drop_out", 0.1),
+        pool_name=m.pool.name,
+        image_k=m.pool.loda.image_k,
+        text_k=m.pool.loda.text_k,
+        temperature_name=cfg.loss.temperature.name,
+        temperature_init=cfg.loss.temperature.value,
+        dtype=dtype,
+    )
+
+
+@PIPELINE.register(name="clip")
+def _clip_pipeline(cfg, **kwargs):
+    return build_clip_model(cfg, **kwargs)

@@ -1,0 +1,36 @@
+"""Projection heads to the shared embedding space.
+
+Parity: reference ``simseg/models/components/projection.py`` —
+SimpleProjection (:29-46, single bias-free Linear) and ComplexProjection
+(:3-27, Linear -> GELU -> Linear -> Dropout -> residual -> LayerNorm).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class SimpleProjection(nn.Module):
+    projection_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        return nn.Dense(self.projection_dim, use_bias=False, dtype=self.dtype,
+                        name="linear")(x)
+
+
+class ComplexProjection(nn.Module):
+    projection_dim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        projected = nn.Dense(self.projection_dim, dtype=self.dtype, name="projection")(x)
+        y = nn.gelu(projected, approximate=False)
+        y = nn.Dense(self.projection_dim, dtype=self.dtype, name="fc")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = y + projected
+        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(y)
