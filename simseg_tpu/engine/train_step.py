@@ -1,0 +1,121 @@
+"""The jitted contrastive train step.
+
+Parity: reference hot loop ``tasks/clip/clip_runner.py:216-251``
+(batch_processor: forward -> loss dict -> backward -> step) and the DDP
+machinery around it (``core/hooks/dist.py``, ``core/hooks/optimizer.py``).
+
+TPU-native shape: one pure function ``(state, batch, rng, lr) -> (state,
+metrics)`` jitted once over a ``jax.sharding.Mesh``. The batch is sharded on
+its leading dim over every mesh axis; parameters and optimizer state are
+replicated. XLA inserts the embedding all-gather for the global InfoNCE
+negatives (the reference's GatherLayer) and the gradient all-reduce (the
+reference's DDP) automatically from the shardings — both ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from simseg_tpu.ops.losses import symmetric_info_nce
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(params=params, opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def clip_loss_fn(
+    model,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    rng: Optional[jax.Array],
+    smoothing: float = 0.0,
+    group_size: int = -1,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Forward + symmetric InfoNCE (parity: pipelines/clip.py:123-176)."""
+    rngs = {"dropout": rng} if rng is not None else None
+    img, txt, temp = model.apply(
+        params, batch, deterministic=rng is None, rngs=rngs
+    )
+    loss, accs = symmetric_info_nce(
+        img.astype(jnp.float32),
+        txt.astype(jnp.float32),
+        temp,
+        ignore_mask=batch.get("ignore_mask"),
+        smoothing=smoothing,
+        group_size=group_size,
+    )
+    metrics = {"loss": loss, "temperature": temp, **accs}
+    return loss, metrics
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    set_lr: Callable,
+    mesh: Optional[Mesh] = None,
+    smoothing: float = 0.0,
+    group_size: int = -1,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Returned fn: (state, batch, rng, lr) -> (state, metrics). ``lr`` is the
+    host-computed scalar from the stateless schedule (the reference's
+    set_lrs-before-step contract, lr_scheduler.py:59-65).
+    """
+
+    def step_fn(state: TrainState, batch, rng, lr):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: clip_loss_fn(model, p, batch, rng, smoothing, group_size),
+            has_aux=True,
+        )(state.params)
+        opt_state = set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["lr"] = lr
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh.axis_names))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None):
+    """Jitted embedding extraction for retrieval validation
+    (parity: clip_runner.py val path / retrieval_evaluation.py:65-99)."""
+
+    def eval_fn(params, batch):
+        img, txt, _ = model.apply(params, batch, deterministic=True)
+        return img.astype(jnp.float32), txt.astype(jnp.float32)
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh.axis_names))
+    return jax.jit(eval_fn, in_shardings=(repl, data), out_shardings=(data, data))

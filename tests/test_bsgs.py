@@ -1,0 +1,92 @@
+"""BSGS gradient-equivalence: the two-pass micro-batched surrogate must
+reproduce the exact full-batch symmetric InfoNCE gradients (SURVEY.md §7.6),
+including the learnable temperature."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simseg_tpu.core.optim import build_optimizer
+from simseg_tpu.engine import TrainState, clip_loss_fn, make_bsgs_grad_fn, make_bsgs_train_step
+from simseg_tpu.parallel import make_mesh, shard_batch
+from tests.test_models import tiny_clip
+from tests.test_train_step import _batch, _cfg
+
+
+def test_bsgs_grads_match_direct_autodiff():
+    model = tiny_clip()
+    batch = _batch(16, seed=3)
+    params = model.init(jax.random.key(0), batch)
+
+    direct = jax.grad(
+        lambda p: clip_loss_fn(model, p, batch, None)[0]
+    )(params)
+
+    for num_micro in (1, 2, 4):
+        grads, metrics = jax.jit(make_bsgs_grad_fn(model, num_micro))(params, batch)
+        for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(grads)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+
+    # loss value for logging matches the true loss
+    true_loss, _ = clip_loss_fn(model, params, batch, None)
+    assert float(metrics["loss"]) == pytest.approx(float(true_loss), rel=1e-5)
+
+
+def test_bsgs_temperature_gradient_exact():
+    model = tiny_clip(temperature_init=0.07)
+    batch = _batch(8, seed=4)
+    params = model.init(jax.random.key(0), batch)
+
+    direct = jax.grad(lambda p: clip_loss_fn(model, p, batch, None)[0])(params)
+    grads, _ = jax.jit(make_bsgs_grad_fn(model, 2))(params, batch)
+
+    d_t = direct["params"]["temperature"]
+    g_t = grads["params"]["temperature"]
+    assert float(g_t) == pytest.approx(float(d_t), rel=1e-4)
+
+
+def test_bsgs_with_smoothing_matches_direct():
+    model = tiny_clip()
+    batch = _batch(8, seed=5)
+    params = model.init(jax.random.key(0), batch)
+    direct = jax.grad(
+        lambda p: clip_loss_fn(model, p, batch, None, smoothing=0.1)[0]
+    )(params)
+    grads, _ = jax.jit(make_bsgs_grad_fn(model, 2, smoothing=0.1))(params, batch)
+    for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_bsgs_deterministic_dropout_reforward():
+    """Pass 2 must see the same dropout as pass 1 (the reference's
+    stable_random re-seed, clip_bsgs_runner.py:310-312/:401-402) — grads are
+    finite and reproducible with the same key."""
+    model = tiny_clip(dropout=0.3)
+    batch = _batch(8, seed=6)
+    params = model.init(jax.random.key(0), batch)
+    fn = jax.jit(make_bsgs_grad_fn(model, 2))
+    g1, _ = fn(params, batch, jax.random.key(7))
+    g2, _ = fn(params, batch, jax.random.key(7))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
+def test_bsgs_train_step_on_mesh():
+    model = tiny_clip()
+    batch = _batch(16, seed=8)
+    params = model.init(jax.random.key(0), batch)
+    tx, set_lr = build_optimizer(_cfg(), params)
+    state = TrainState.create(params, tx)
+    mesh = make_mesh()
+    step = make_bsgs_train_step(model, tx, set_lr, num_micro=2, mesh=mesh,
+                                donate=False)
+    sharded = shard_batch(batch, mesh)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, sharded, None, 1e-3)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
