@@ -1,0 +1,177 @@
+"""Minimal torch modules reproducing the reference model layouts (timm ViT /
+HF BERT / SimSeg projections) for checkpoint-bridge and numerical-parity
+tests. These are test fixtures: independent re-implementations of the public
+architectures, with state-dict key names matching what the bridge must load.
+"""
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class TorchViTBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, dim * 3)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, dim * 4)
+        self.mlp.fc2 = nn.Linear(dim * 4, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        b, t, d = x.shape
+        h = self.heads
+        y = self.norm1(x)
+        qkv = self.attn.qkv(y).reshape(b, t, 3, h, d // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = (q @ k.transpose(-2, -1)) / math.sqrt(d // h)
+        att = att.softmax(-1)
+        y = (att @ v).transpose(1, 2).reshape(b, t, d)
+        x = x + self.attn.proj(y)
+        y = self.norm2(x)
+        y = self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+        return x + y
+
+
+class TorchViT(nn.Module):
+    """timm-layout ViT; forward mirrors reference vit_builder.py:13-21
+    (returns the full token sequence)."""
+
+    def __init__(self, img_size=32, patch=8, dim=32, depth=2, heads=2):
+        super().__init__()
+        n = (img_size // patch) ** 2
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, 1 + n, dim))
+        self.blocks = nn.ModuleList([TorchViTBlock(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):  # x: (B, 3, H, W)
+        x = self.patch_embed.proj(x)
+        x = x.flatten(2).transpose(1, 2)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)
+
+
+class TorchBertLayer(nn.Module):
+    def __init__(self, dim, heads, inter):
+        super().__init__()
+        self.attention = nn.Module()
+        self.attention.self = nn.Module()
+        self.attention.self.query = nn.Linear(dim, dim)
+        self.attention.self.key = nn.Linear(dim, dim)
+        self.attention.self.value = nn.Linear(dim, dim)
+        self.attention.output = nn.Module()
+        self.attention.output.dense = nn.Linear(dim, dim)
+        self.attention.output.LayerNorm = nn.LayerNorm(dim, eps=1e-12)
+        self.intermediate = nn.Module()
+        self.intermediate.dense = nn.Linear(dim, inter)
+        self.output = nn.Module()
+        self.output.dense = nn.Linear(inter, dim)
+        self.output.LayerNorm = nn.LayerNorm(dim, eps=1e-12)
+        self.heads = heads
+
+    def forward(self, x, bias):
+        b, t, d = x.shape
+        h = self.heads
+
+        def split(z):
+            return z.reshape(b, t, h, d // h).permute(0, 2, 1, 3)
+
+        q = split(self.attention.self.query(x))
+        k = split(self.attention.self.key(x))
+        v = split(self.attention.self.value(x))
+        att = (q @ k.transpose(-2, -1)) / math.sqrt(d // h)
+        if bias is not None:
+            att = att + bias
+        att = att.softmax(-1)
+        y = (att @ v).permute(0, 2, 1, 3).reshape(b, t, d)
+        x = self.attention.output.LayerNorm(x + self.attention.output.dense(y))
+        y = self.output.dense(F.gelu(self.intermediate.dense(x)))
+        return self.output.LayerNorm(x + y)
+
+
+class TorchBert(nn.Module):
+    """HF-layout BERT encoder (embeddings + layers, no pooler)."""
+
+    def __init__(self, vocab=128, dim=32, depth=2, heads=2, inter=64, max_pos=64):
+        super().__init__()
+        self.embeddings = nn.Module()
+        self.embeddings.word_embeddings = nn.Embedding(vocab, dim)
+        self.embeddings.position_embeddings = nn.Embedding(max_pos, dim)
+        self.embeddings.token_type_embeddings = nn.Embedding(2, dim)
+        self.embeddings.LayerNorm = nn.LayerNorm(dim, eps=1e-12)
+        self.encoder = nn.Module()
+        self.encoder.layer = nn.ModuleList(
+            [TorchBertLayer(dim, heads, inter) for _ in range(depth)]
+        )
+
+    def forward(self, input_ids, attention_mask=None):
+        t = input_ids.shape[1]
+        pos = torch.arange(t)[None, :]
+        x = (
+            self.embeddings.word_embeddings(input_ids)
+            + self.embeddings.position_embeddings(pos)
+            + self.embeddings.token_type_embeddings(torch.zeros_like(input_ids))
+        )
+        x = self.embeddings.LayerNorm(x)
+        bias = None
+        if attention_mask is not None:
+            bias = (1.0 - attention_mask[:, None, None, :].float()) * -1e9
+        for layer in self.encoder.layer:
+            x = layer(x, bias)
+        return x
+
+
+class TorchTinyCLIP(nn.Module):
+    """State-dict-compatible stand-in for the reference CLIPModel
+    (image_encoder.model.model.*, text_encoder.model.*, *_projection.linear,
+    loss.temperature)."""
+
+    def __init__(self, proj_dim=16):
+        super().__init__()
+        self.image_encoder = nn.Module()
+        self.image_encoder.model = nn.Module()
+        self.image_encoder.model.model = TorchViT()
+        self.text_encoder = nn.Module()
+        self.text_encoder.model = TorchBert()
+        self.image_projection = nn.Module()
+        self.image_projection.linear = nn.Linear(32, proj_dim, bias=False)
+        self.text_projection = nn.Module()
+        self.text_projection.linear = nn.Linear(32, proj_dim, bias=False)
+        self.loss = nn.Module()
+        self.loss.temperature = nn.Parameter(torch.tensor(0.03))
+
+
+def torch_topk_pool(x, k, mask=None):
+    if mask is not None:
+        x = x.masked_fill((mask == 0).unsqueeze(-1), -10000.0)
+        k = min(k, int(mask.sum(1).min()))
+    vals = x.topk(k, dim=1)[0]
+    return vals.mean(dim=1)
+
+
+def torch_clip_embeddings(model: TorchTinyCLIP, image, input_ids, attention_mask,
+                          image_k=3, text_k=1):
+    """Reference CLIPModel.forward(embeddings='all') semantics
+    (pipelines/clip.py:152-176) on the torch fixture."""
+    img_tokens = model.image_encoder.model.model(image)[:, 1:]
+    txt_tokens = model.text_encoder.model(input_ids, attention_mask)
+
+    img_emb = torch_topk_pool(model.image_projection.linear(img_tokens), image_k)
+    txt_emb = torch_topk_pool(
+        model.text_projection.linear(txt_tokens), text_k, attention_mask
+    )
+    img_emb = F.normalize(img_emb, dim=-1)
+    txt_emb = F.normalize(txt_emb, dim=-1)
+    return img_emb, txt_emb
