@@ -1,0 +1,118 @@
+"""Headline benchmark: zero-shot segmentation inference throughput
+(images/sec/chip) for the flagship ViT-B/16 pipeline at 288px.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline anchor: the PyTorch reference runs DenseCRF (pydensecrf, CPU) +
+OpenCV morphology per candidate class per image on the host
+(tools/seg_evaluation.py:153-161); with 3 mean-field iterations at 288^2 and
+up to 4 refined classes per image this bounds the reference to roughly
+8 img/s per accelerator regardless of GPU speed (the CRF dominates; see
+BASELINE.md — the repo publishes no throughput numbers, so this is the
+documented estimate the >=5x target is measured against).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 8.0  # torch reference estimate (CPU-CRF-bound)
+
+
+def main() -> None:
+    from __graft_entry__ import _flagship_model
+
+    model = _flagship_model()
+    num_classes = 21  # PASCAL VOC label bank
+
+    rng = np.random.default_rng(0)
+    batch_size = 16
+    images = jnp.asarray(
+        rng.normal(size=(batch_size, 288, 288, 3)).astype(np.float32)
+    )
+    raw_images = jnp.asarray(
+        rng.integers(0, 255, (batch_size, 288, 288, 3)).astype(np.uint8)
+    )
+    params = model.init(
+        jax.random.key(0),
+        {
+            "image": images[:1],
+            "input_ids": jnp.zeros((1, 25), jnp.int32),
+            "attention_mask": jnp.ones((1, 25), jnp.int32),
+        },
+    )
+    text_bank = jnp.asarray(
+        rng.normal(size=(num_classes, 512)).astype(np.float32)
+    )
+    text_bank = text_bank / jnp.linalg.norm(text_bank, axis=-1, keepdims=True)
+
+    try:
+        from simseg_tpu.ops.seg_decode import make_seg_decode_fn
+
+        decode = make_seg_decode_fn(
+            num_classes=num_classes, image_size=288, patch_size=16,
+            top_cls_num=10, candidate_classes=5,
+        )
+        have_decode = True
+    except Exception:
+        decode = None
+        have_decode = False
+
+    @jax.jit
+    def seg_forward(params, images, raw_images, text_bank):
+        tokens = model.apply(
+            params, images, method=lambda m, im: m.forward_image_tokens(im)
+        )
+        patches = tokens[:, 1:]
+        pooled = model.apply(
+            params, patches, method=lambda m, t: m.forward_image_project(t)
+        )
+        dense = model.apply(
+            params, patches, method=lambda m, t: m.project_image_tokens(t)
+        )
+        dense = dense / jnp.maximum(
+            jnp.linalg.norm(dense, axis=-1, keepdims=True), 1e-12
+        )
+        if decode is not None:
+            return decode(dense, pooled, text_bank, raw_images)
+        # fallback: similarity maps only (pre-decode-kernel pipeline)
+        sims = jnp.einsum("bnd,cd->bnc", dense, text_bank)
+        scores = jnp.einsum("bd,cd->bc", pooled, text_bank)
+        return sims, scores
+
+    # warmup / compile
+    out = seg_forward(params, images, raw_images, text_bank)
+    jax.block_until_ready(out)
+
+    iters = 20
+    rates = []
+    for _trial in range(5):
+        t0 = time.perf_counter()
+        outs = [seg_forward(params, images, raw_images, text_bank)
+                for _ in range(iters)]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        rates.append(batch_size * iters / dt)
+    images_per_sec = float(np.median(rates))
+    metric = (
+        "seg_inference_images_per_sec_vitb288"
+        if have_decode
+        else "seg_backbone_images_per_sec_vitb288"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

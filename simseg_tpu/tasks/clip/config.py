@@ -1,0 +1,140 @@
+"""CLIP task default config bank.
+
+Parity: reference ``simseg/tasks/clip/config.py:9-183`` (task_cfg_init_fn +
+update_clip_config) — the same ~110 keys with the same defaults, with
+GPU-specific knobs translated to their TPU equivalents (dist.name 'jax',
+bf16 instead of fp16 scalers; NCCL group size -> mesh group axis).
+"""
+
+import os
+
+from simseg_tpu.utils.collections import AttrDict
+
+
+def task_cfg_init_fn(cfg: AttrDict) -> None:
+    cfg.runner.name = "clip"
+    cfg.runner.log_interval = 1
+    cfg.runner.val_interval = 1
+    cfg.runner.val_interval_steps = -1
+    cfg.runner.stable_random = "none"
+
+    cfg.wandb = AttrDict()
+    cfg.wandb.enable = False
+    cfg.wandb.project = "your_proj"
+    cfg.wandb.entity = "your_entity"
+    cfg.wandb.train_record_keys = ["loss", "i2t_acc", "t2i_acc", "lr"]
+
+    cfg.ckpt.dir = "./output"
+    cfg.ckpt.step_interval = 2000
+    cfg.ckpt.filename = "step_checkpoint"
+    cfg.ckpt.external_resume = None
+    cfg.ckpt.only_load_image_encoder = False
+    cfg.ckpt.only_load_text_encoder = False
+    cfg.ckpt.soft_resume = False
+    cfg.ckpt.auto_resume = True
+
+    cfg.log.interval_train = 1
+    cfg.log.interval_val = 1
+
+    cfg.dist.name = "jax"
+    cfg.dist.param = AttrDict()
+    cfg.dist.bf16 = True
+    cfg.dist.fp16 = False  # accepted from reference configs; implies bf16 on TPU
+
+    cfg.optim.name = "torch.optim.AdamW"
+    cfg.optim.param = AttrDict(betas=(0.9, 0.98), eps=1e-6, weight_decay=0.1)
+    cfg.optim.grad_clip = AttrDict()
+
+    cfg.optim.lr.name = "cosine_schedule_with_warmup"
+    cfg.optim.lr.init = 1e-4
+    cfg.optim.lr.warmup_proportion = 0.025
+    cfg.optim.lr.param = AttrDict(num_cycles=0.5)
+
+    # ----- dataset -----
+    cfg.data.exp_name = "test"
+    cfg.data.name = "parquet"
+    cfg.data.train_type = "sequential"  # sequential | shuffle | debias
+    cfg.data.train_name = ["cc"]
+    cfg.data.valid_name = ["f30k", "coco"]
+    cfg.data.data_path = "./data/"
+    cfg.data.batch_size = 128
+    cfg.data.batch_size_train = 128  # BSGS micro-batch size
+    cfg.data.batch_size_val = 256
+    cfg.data.num_workers = 8
+    cfg.data.enable_valid = True
+    cfg.data.single_eval = True
+    cfg.data.cuda_eval = True  # accepted for reference-config compat (no-op)
+
+    # ----- transforms -----
+    cfg.transforms = AttrDict()
+    cfg.transforms.input_size = 224
+    cfg.transforms.train_transforms = ["resize"]
+    cfg.transforms.valid_transforms = ["resize"]
+    cfg.transforms.resize = AttrDict(size=224)
+    cfg.transforms.resize_bicubic = AttrDict(size=224)
+    cfg.transforms.normalize = AttrDict(
+        mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]
+    )
+    cfg.transforms.random_crop = AttrDict(size=224)
+    cfg.transforms.center_crop = AttrDict(size=224)
+    cfg.transforms.random_resize_crop = AttrDict(size=224, scale=[0.6, 1.0])
+    cfg.transforms.random_augment = AttrDict(N=2, M=7)
+    cfg.transforms.random_erasing = AttrDict(reprob=0.0, remode="pixel", recount=1)
+    cfg.transforms.color_jitter = 0.4
+    cfg.transforms.autoaug = AttrDict()
+    cfg.transforms.gaussian_blur = AttrDict(p=0.5, radius_min=0.1, radius_max=2.0)
+    cfg.transforms.color_distortion = AttrDict(strength=1.0)
+
+    # ----- model -----
+    cfg.model.name = "clip"
+    cfg.model.pretrain_prefix_change_list = []
+    cfg.model.max_length = 25
+    cfg.model.syncbn = True  # no-op on TPU (no BN in ViT); kept for compat
+    cfg.model.interpolate_pos_embed = False
+    cfg.model.freeze_cnn_bn = False
+
+    cfg.model.image_encoder = AttrDict()
+    cfg.model.image_encoder.name = "vit_modelzoo"
+    cfg.model.image_encoder.tag = "vit_base_patch16_224_in21k"
+    cfg.model.image_encoder.embedding_dim = 768
+    cfg.model.image_encoder.pretrained = True
+    cfg.model.image_encoder.trainable = True
+
+    cfg.model.text_encoder = AttrDict()
+    cfg.model.text_encoder.name = "huggingface_modelzoo"
+    cfg.model.text_encoder.tag = "bert-base-uncased"
+    cfg.model.text_encoder.embedding_dim = 768
+    cfg.model.text_encoder.pretrained = True
+    cfg.model.text_encoder.trainable = True
+    cfg.model.text_encoder.target_token_idx = 0
+
+    cfg.model.projection = AttrDict()
+    cfg.model.projection.name = "simple"
+    cfg.model.projection.dim = 512
+    cfg.model.projection.text_projector_trainable = True
+    cfg.model.projection.image_projector_trainable = True
+    cfg.model.projection.complex_projection = AttrDict(drop_out=0.1)
+
+    cfg.model.pool = AttrDict()
+    cfg.model.pool.name = "identity"  # avg | loda | identity
+    cfg.model.pool.loda = AttrDict(image_k=5, text_k=5)
+
+    # ----- loss -----
+    cfg.loss = AttrDict()
+    cfg.loss.name = "NCE"
+    cfg.loss.global_reduce = True
+    cfg.loss.group_size = -1
+    cfg.loss.smoothing = 0.0
+    cfg.loss.extra_losses = []
+    cfg.loss.nce_loss = AttrDict(gather_backward=True)
+    cfg.loss.temperature = AttrDict(name="constant", value=0.02)
+    cfg.loss.triplet_loss = AttrDict(reduce_mode="max", margin=0.2)
+
+
+def update_clip_config(cfg: AttrDict) -> None:
+    """Derived values (parity: tasks/clip/config.py:176-183)."""
+    cfg.ckpt.dir = os.path.join(cfg.ckpt.dir, cfg.data.exp_name)
+    if isinstance(cfg.data.batch_size, list):
+        cfg.data.batch_size = cfg.data.batch_size[0]
+    if isinstance(cfg.data.batch_size_val, list):
+        cfg.data.batch_size_val = cfg.data.batch_size_val[0]
