@@ -62,7 +62,11 @@ def main() -> None:
         have_decode = False
 
     @jax.jit
-    def seg_forward(params, images, raw_images, text_bank):
+    def seg_forward(params, images, raw_images, text_bank, acc):
+        # `acc` chains a data dependency across iterations so the timing
+        # loop measures completed device execution, not dispatch: on
+        # tunneled/remote platforms block_until_ready can return before the
+        # work is done, so we serialize via the scalar and fetch it once.
         tokens = model.apply(
             params, images, method=lambda m, im: m.forward_image_tokens(im)
         )
@@ -77,23 +81,27 @@ def main() -> None:
             jnp.linalg.norm(dense, axis=-1, keepdims=True), 1e-12
         )
         if decode is not None:
-            return decode(dense, pooled, text_bank, raw_images)
-        # fallback: similarity maps only (pre-decode-kernel pipeline)
-        sims = jnp.einsum("bnd,cd->bnc", dense, text_bank)
-        scores = jnp.einsum("bd,cd->bc", pooled, text_bank)
-        return sims, scores
+            pred, conf = decode(dense, pooled, text_bank, raw_images)
+            checksum = jnp.sum(pred).astype(jnp.float32) + jnp.sum(conf)
+        else:
+            # fallback: similarity maps only (pre-decode-kernel pipeline)
+            sims = jnp.einsum("bnd,cd->bnc", dense, text_bank)
+            scores = jnp.einsum("bd,cd->bc", pooled, text_bank)
+            checksum = jnp.sum(sims) + jnp.sum(scores)
+        return acc + checksum
 
     # warmup / compile
-    out = seg_forward(params, images, raw_images, text_bank)
-    jax.block_until_ready(out)
+    acc = jnp.zeros((), jnp.float32)
+    float(seg_forward(params, images, raw_images, text_bank, acc))
 
     iters = 20
     rates = []
     for _trial in range(5):
+        acc = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
-        outs = [seg_forward(params, images, raw_images, text_bank)
-                for _ in range(iters)]
-        jax.block_until_ready(outs)
+        for _ in range(iters):
+            acc = seg_forward(params, images, raw_images, text_bank, acc)
+        float(acc)  # single device->host sync
         dt = time.perf_counter() - t0
         rates.append(batch_size * iters / dt)
     images_per_sec = float(np.median(rates))
