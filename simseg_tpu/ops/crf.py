@@ -1,0 +1,189 @@
+"""Mean-field dense-CRF refinement, fully on device.
+
+Parity: the reference refines each candidate class's similarity map with
+pydensecrf (C++ on the host CPU): 2-label DenseCRF2D, unary = -log(p),
+pairwise Gaussian (sxy=3, compat=3) + bilateral (sxy=40, srgb=13, compat=10),
+3 mean-field iterations, argmax (``tools/seg_evaluation.py:31-54``). That
+host round-trip is the reference's throughput ceiling; here the whole
+refinement runs inside jit (SURVEY.md §7 step 4, hard-part 1).
+
+Math (Krähenbühl & Koltun dense CRF, as implemented by pydensecrf):
+    Q^0 = softmax(-U)
+    Q^{t+1} = softmax(-U + sum_k w_k * (K̂_k Q^t))        [Potts]
+with symmetric kernel normalization K̂ = D^{-1/2} K D^{-1/2},
+D = diag(K 1) (pydensecrf NORMALIZE_SYMMETRIC default; self-interaction
+included, matching the permutohedral implementation).
+
+TPU mapping:
+- Gaussian kernel (sigma=3): truncated separable 1-D convolutions
+  (radius 3*sigma; weights beyond that are < e^-4.5).
+- Bilateral kernel (sigma_xy=40, sigma_rgb=13): exact brute-force kernel at
+  a coarse stride s (box splat -> N_s x N_s kernel matmul on the MXU ->
+  slice back). The spatial sigma is huge compared to the stride, so the
+  coarse kernel is an excellent approximation of the permutohedral lattice
+  (itself an approximation). The kernel matrix is built once per image from
+  squared-distance matmuls and shared by every candidate class.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Gaussian (spatial) kernel: separable truncated convolution
+# --------------------------------------------------------------------------
+
+def _gaussian_taps(sigma: float, truncate: float = 3.0) -> np.ndarray:
+    r = int(np.ceil(truncate * sigma))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    return np.exp(-(x**2) / (2.0 * sigma**2)).astype(np.float32)
+
+
+def _sep_blur(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2-D blur. x: (..., H, W). Unnormalized kernel (the CRF's
+    symmetric normalization handles mass)."""
+    *lead, h, w = x.shape
+    k = taps.shape[0]
+    xr = x.reshape(-1, h, w)
+
+    # rows: conv over W. Use dot with a banded matrix (static, small) — maps
+    # to the MXU and avoids conv layout shuffles for many small channels.
+    band_w = _band_matrix(w, taps)
+    band_h = _band_matrix(h, taps)
+    y = jnp.einsum("nhw,wv->nhv", xr, band_w)
+    y = jnp.einsum("nhv,hu->nuv", y, band_h)
+    return y.reshape(*lead, h, w)
+
+
+def _band_matrix(n: int, taps: jnp.ndarray) -> jnp.ndarray:
+    """(n, n) matrix B with B[i, j] = taps[j - i + r] (zero padding)."""
+    k = taps.shape[0]
+    r = k // 2
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    d = j - i + r
+    valid = (d >= 0) & (d < k)
+    return jnp.where(valid, taps[jnp.clip(d, 0, k - 1)], 0.0)
+
+
+# --------------------------------------------------------------------------
+# Bilateral kernel at coarse stride: splat -> matmul -> slice
+# --------------------------------------------------------------------------
+
+def _box_downsample(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(..., H, W) -> (..., H/s, W/s) mean pooling."""
+    *lead, h, w = x.shape
+    x = x.reshape(*lead, h // s, s, w // s, s)
+    return x.mean(axis=(-3, -1))
+
+
+def _bilateral_kernel_matrix(
+    rgb_small: jnp.ndarray, sxy: float, srgb: float, stride: int
+) -> jnp.ndarray:
+    """rgb_small: (h, w, 3) float (0..255 scale). Returns (hw, hw) kernel
+    K[i,j] = exp(-|pos_i-pos_j|^2 / 2 sxy^2 - |rgb_i-rgb_j|^2 / 2 srgb^2)
+    with positions in fine-pixel units (cell centers)."""
+    h, w, _ = rgb_small.shape
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride - 0.5
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride - 0.5
+    pos = jnp.stack(
+        [jnp.tile(ys[:, None], (1, w)), jnp.tile(xs[None, :], (h, 1))], axis=-1
+    ).reshape(-1, 2) / sxy
+    col = rgb_small.reshape(-1, 3) / srgb
+
+    feat = jnp.concatenate([pos, col], axis=-1)  # (N, 5)
+    sq = jnp.sum(feat * feat, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        feat, feat.T, preferred_element_type=jnp.float32
+    )
+    return jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+
+
+# --------------------------------------------------------------------------
+# mean-field inference
+# --------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_iters", "bilateral_stride", "gaussian_sxy", "gaussian_compat",
+        "bilateral_sxy", "bilateral_srgb", "bilateral_compat",
+    ),
+)
+def dense_crf_binary(
+    probs: jnp.ndarray,
+    rgb: jnp.ndarray,
+    num_iters: int = 3,
+    gaussian_sxy: float = 3.0,
+    gaussian_compat: float = 3.0,
+    bilateral_sxy: float = 40.0,
+    bilateral_srgb: float = 13.0,
+    bilateral_compat: float = 10.0,
+    bilateral_stride: int = 4,
+) -> jnp.ndarray:
+    """Refine K binary probability maps with one shared image.
+
+    probs: (K, H, W) foreground probabilities in [0, 1].
+    rgb:   (H, W, 3) image in 0..255 (any float/int dtype).
+    Returns (K, H, W) int32 argmax masks (1 = foreground).
+    """
+    kk, h, w = probs.shape
+    s = bilateral_stride
+    assert h % s == 0 and w % s == 0, (h, w, s)
+
+    p = jnp.clip(probs.astype(jnp.float32), 0.0, 1.0)
+    # unary: (K, 2, H, W); label 0 = background
+    u = -jnp.log(jnp.stack([1.0 - p, p], axis=1) + 1e-8)
+
+    taps = jnp.asarray(_gaussian_taps(gaussian_sxy))
+
+    # Gaussian normalization: D = blur(1); symmetric norm 1/sqrt(D)
+    ones = jnp.ones((h, w), jnp.float32)
+    g_norm = jax.lax.rsqrt(_sep_blur(ones, taps) + 1e-20)
+
+    # bilateral kernel at coarse resolution (shared across K maps)
+    rgb_small = _box_downsample(
+        jnp.moveaxis(rgb.astype(jnp.float32), -1, 0), s
+    )
+    rgb_small = jnp.moveaxis(rgb_small, 0, -1)  # (h/s, w/s, 3)
+    kmat = _bilateral_kernel_matrix(rgb_small, bilateral_sxy, bilateral_srgb, s)
+    b_norm_small = jax.lax.rsqrt(jnp.sum(kmat, axis=1) + 1e-20)  # (n_small,)
+
+    n_small = (h // s) * (w // s)
+
+    def bilateral_message(q: jnp.ndarray) -> jnp.ndarray:
+        """q: (K, 2, H, W) -> K̂_bilateral q, via splat/matmul/slice.
+
+        Normalization note: the fine-grid degree is D_i ≈ s^2 (K 1)_c, so the
+        two D^{-1/2} factors contribute 1/s^2, exactly cancelling the s^2 of
+        a sum-splat — i.e. mean-splat with coarse-degree normalization is the
+        correct discretization (verified against the exact stride-1 kernel in
+        tests)."""
+        q_small = _box_downsample(q.reshape(kk * 2, h, w), s)  # mean-splat
+        q_small = q_small.reshape(kk * 2, n_small)
+        q_small = q_small * b_norm_small[None, :]
+        m = jnp.dot(q_small, kmat.T, preferred_element_type=jnp.float32)
+        m = m * b_norm_small[None, :]
+        m = m.reshape(kk, 2, h // s, w // s)
+        # slice: nearest upsample back to fine grid
+        m = jnp.repeat(jnp.repeat(m, s, axis=-2), s, axis=-1)
+        return m
+
+    def gaussian_message(q: jnp.ndarray) -> jnp.ndarray:
+        qn = q * g_norm[None, None]
+        m = _sep_blur(qn, taps)
+        return m * g_norm[None, None]
+
+    def body(_, q):
+        m = gaussian_compat * gaussian_message(q) + bilateral_compat * bilateral_message(q)
+        return jax.nn.softmax(-u + m, axis=1)
+
+    q0 = jax.nn.softmax(-u, axis=1)
+    q = jax.lax.fori_loop(0, num_iters, body, q0)
+    return jnp.argmax(q, axis=1).astype(jnp.int32)

@@ -1,0 +1,108 @@
+"""Fused on-device zero-shot segmentation decode.
+
+Parity: the reference's per-image eval loop ``tools/seg_evaluation.py:93-177``:
+1. global image-text scores -> top-k class shortlist; adaptive threshold
+   mean + 1.0 * std of the top-k scores (:119-124, torch.std = ddof 1)
+2. up to 5 candidate classes (skip background id 0 / 255; scores below the
+   threshold are dropped — the reference breaks out of the sorted loop,
+   which filters the same set) (:129-147)
+3. per candidate: patch-token/class-text similarity map (18x18) -> x16
+   nearest upsample -> min-max normalize (:136-150)
+4. dense-CRF binary refinement on the raw image (:153, pydensecrf on CPU in
+   the reference; here the on-device mean-field kernel from ops/crf.py)
+5. 7x7 dilate + erode, nearest resize, score-weighted stack, argmax
+   (:156-162, cv2 on CPU in the reference)
+
+Everything below runs in ONE jit over a whole image batch; the only
+data-dependent control flow (candidate count) is handled with a fixed
+budget of 5 masked candidates (SURVEY.md §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from simseg_tpu.ops.crf import dense_crf_binary
+from simseg_tpu.ops.morphology import closing, nearest_upsample
+
+
+def make_seg_decode_fn(
+    num_classes: int,
+    image_size: int,
+    patch_size: int = 16,
+    top_cls_num: int = 10,
+    candidate_classes: int = 5,
+    crf_iters: int = 3,
+    bilateral_stride: int = 4,
+    morphology_ksize: int = 7,
+):
+    """Build the jitted decode fn.
+
+    Returned fn(dense, pooled, text_bank, raw_images) ->
+        (pred, best_weight) where
+        dense:      (B, N, D) per-token projected embeddings, L2-normalized
+        pooled:     (B, D) global image embedding, L2-normalized
+        text_bank:  (C, D) class text embeddings, L2-normalized
+        raw_images: (B, H, W, 3) uint8 original-scale pixels
+        pred:       (B, H, W) int32 class map (0 = background)
+        best_weight:(B, H, W) float32 winning score*mask weight (0 where bg)
+    """
+    grid = image_size // patch_size
+
+    @jax.jit
+    def decode(dense, pooled, text_bank, raw_images):
+        b, n, d = dense.shape
+        assert n == grid * grid, (n, grid)
+
+        # 1. shortlist + threshold (:119-124)
+        scores = jnp.einsum("bd,cd->bc", pooled, text_bank,
+                            preferred_element_type=jnp.float32)
+        topk_scores, topk_idx = jax.lax.top_k(scores, top_cls_num)
+        mean = jnp.mean(topk_scores, axis=-1)
+        std = jnp.std(topk_scores, axis=-1, ddof=1)
+        threshold = mean + 1.0 * std
+
+        cand_idx = topk_idx[:, :candidate_classes]           # (B, K)
+        cand_scores = topk_scores[:, :candidate_classes]     # (B, K)
+        valid = (
+            (cand_idx != 0)
+            & (cand_idx != 255)
+            & (cand_scores >= threshold[:, None])
+        )
+
+        # 2. similarity maps (:136-139)
+        cand_emb = text_bank[cand_idx]                        # (B, K, D)
+        attn = jnp.einsum("bnd,bkd->bkn", dense, cand_emb,
+                          preferred_element_type=jnp.float32)
+        attn = attn.reshape(b, candidate_classes, grid, grid)
+        attn = nearest_upsample(attn, patch_size)             # (B, K, H, W)
+
+        # 3. min-max normalize per map (:149-150)
+        amin = jnp.min(attn, axis=(-2, -1), keepdims=True)
+        amax = jnp.max(attn, axis=(-2, -1), keepdims=True)
+        probs = (attn - amin) / jnp.maximum(amax - amin, 1e-12)
+
+        # 4. CRF refinement, one shared bilateral kernel per image (:153)
+        masks = jax.vmap(
+            lambda p, im: dense_crf_binary(
+                p, im, num_iters=crf_iters, bilateral_stride=bilateral_stride
+            )
+        )(probs, raw_images)                                  # (B, K, H, W)
+
+        # 5. morphology + score weighting + argmax (:156-177)
+        masks = closing(masks.astype(jnp.float32), morphology_ksize)
+        weights = jnp.where(valid[:, :, None, None], masks * cand_scores[:, :, None, None], 0.0)
+
+        best_k = jnp.argmax(weights, axis=1)                  # (B, H, W)
+        best_w = jnp.max(weights, axis=1)
+        pred = jnp.take_along_axis(
+            cand_idx[:, :, None], best_k.reshape(b, 1, -1), axis=1
+        ).reshape(b, image_size, image_size)
+        pred = jnp.where(best_w > 0, pred, 0).astype(jnp.int32)
+        return pred, best_w
+
+    return decode

@@ -1,0 +1,165 @@
+"""On-device CRF and morphology vs exact numpy mean-field and cv2."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from simseg_tpu.ops.crf import dense_crf_binary
+from simseg_tpu.ops.morphology import (
+    closing,
+    cv2_nearest_indices,
+    dilate,
+    erode,
+    nearest_upsample,
+    resize_nearest_to_padded,
+)
+
+
+def np_dense_crf(probs, rgb, iters=3, g_sxy=3.0, g_compat=3.0,
+                 b_sxy=40.0, b_srgb=13.0, b_compat=10.0):
+    """Exact brute-force mean-field dense CRF (Krähenbühl), symmetric kernel
+    normalization, self-interaction included — the ground truth for the TPU
+    kernel at stride 1."""
+    h, w = probs.shape
+    n = h * w
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    pos = np.stack([yy.ravel(), xx.ravel()], 1)
+
+    def kernel(feat):
+        d2 = ((feat[:, None, :] - feat[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2)
+
+    kg = kernel(pos / g_sxy)
+    fb = np.concatenate([pos / b_sxy, rgb.reshape(n, 3) / b_srgb], 1)
+    kb = kernel(fb)
+    ng = 1.0 / np.sqrt(kg.sum(1) + 1e-20)
+    nb = 1.0 / np.sqrt(kb.sum(1) + 1e-20)
+
+    p = probs.reshape(n)
+    u = -np.log(np.stack([1 - p, p], 0) + 1e-8)  # (2, N)
+
+    def softmax(x):
+        e = np.exp(x - x.max(0, keepdims=True))
+        return e / e.sum(0, keepdims=True)
+
+    q = softmax(-u)
+    for _ in range(iters):
+        mg = (ng[:, None] * (kg @ (ng[:, None] * q.T))).T
+        mb = (nb[:, None] * (kb @ (nb[:, None] * q.T))).T
+        q = softmax(-u + g_compat * mg + b_compat * mb)
+    return np.argmax(q, 0).reshape(h, w)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_crf_matches_exact_numpy_at_stride1(seed):
+    rng = np.random.default_rng(seed)
+    h = w = 16
+    # two-region image with noisy probability map
+    rgb = np.zeros((h, w, 3), np.float64)
+    rgb[:, : w // 2] = [200, 30, 40]
+    rgb[:, w // 2:] = [20, 180, 220]
+    rgb += rng.normal(0, 5, rgb.shape)
+    probs = np.clip(
+        0.5 + 0.35 * np.where(np.arange(w) < w // 2, 1.0, -1.0)[None, :]
+        + rng.normal(0, 0.15, (h, w)),
+        0.01, 0.99,
+    )
+    want = np_dense_crf(probs, rgb)
+    got = np.asarray(
+        dense_crf_binary(
+            jnp.asarray(probs[None]), jnp.asarray(rgb), bilateral_stride=1
+        )[0]
+    )
+    agreement = (got == want).mean()
+    assert agreement == 1.0, f"agreement {agreement}"
+
+
+def test_crf_stride4_approximates_stride1():
+    rng = np.random.default_rng(2)
+    h = w = 32
+    rgb = np.zeros((h, w, 3), np.float64)
+    rgb[: h // 2] = [180, 60, 60]
+    rgb[h // 2:] = [40, 160, 90]
+    rgb += rng.normal(0, 8, rgb.shape)
+    probs = np.clip(
+        0.5 + 0.3 * np.where(np.arange(h) < h // 2, 1.0, -1.0)[:, None]
+        + rng.normal(0, 0.2, (h, w)),
+        0.01, 0.99,
+    )
+    exact = np.asarray(
+        dense_crf_binary(jnp.asarray(probs[None]), jnp.asarray(rgb),
+                         bilateral_stride=1)[0]
+    )
+    approx = np.asarray(
+        dense_crf_binary(jnp.asarray(probs[None]), jnp.asarray(rgb),
+                         bilateral_stride=4)[0]
+    )
+    assert (exact == approx).mean() >= 0.97
+
+
+def test_crf_sharpens_noisy_mask():
+    """CRF should clean salt-and-pepper noise inside color-coherent regions."""
+    rng = np.random.default_rng(3)
+    h = w = 32
+    gt = np.zeros((h, w), bool)
+    gt[8:24, 8:24] = True
+    rgb = np.where(gt[..., None], [210.0, 40.0, 40.0], [30.0, 30.0, 200.0])
+    noisy = np.clip(gt * 0.8 + 0.1 + rng.normal(0, 0.25, (h, w)), 0.01, 0.99)
+    refined = np.asarray(
+        dense_crf_binary(jnp.asarray(noisy[None]), jnp.asarray(rgb),
+                         bilateral_stride=4)[0]
+    ).astype(bool)
+    base_err = ((noisy > 0.5) != gt).mean()
+    crf_err = (refined != gt).mean()
+    assert crf_err < base_err
+    assert crf_err < 0.02
+
+
+def test_dilate_erode_match_cv2():
+    rng = np.random.default_rng(4)
+    mask = (rng.random((33, 47)) > 0.8).astype(np.uint8) * 255
+    kernel = np.ones((7, 7), np.uint8)
+    want_d = cv2.dilate(mask, kernel)
+    want_e = cv2.erode(mask, kernel)
+    got_d = np.asarray(dilate(jnp.asarray(mask.astype(np.float32)), 7))
+    got_e = np.asarray(erode(jnp.asarray(mask.astype(np.float32)), 7))
+    np.testing.assert_array_equal(got_d.astype(np.uint8), want_d)
+    np.testing.assert_array_equal(got_e.astype(np.uint8), want_e)
+
+    want_close = cv2.erode(cv2.dilate(mask, kernel), kernel)
+    got_close = np.asarray(closing(jnp.asarray(mask.astype(np.float32)), 7))
+    np.testing.assert_array_equal(got_close.astype(np.uint8), want_close)
+
+
+def test_nearest_upsample_matches_torch():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 3, 6, 6)).astype(np.float32)
+    got = np.asarray(nearest_upsample(jnp.asarray(x), 4))
+    want = F.interpolate(torch.tensor(x), scale_factor=4, mode="nearest").numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cv2_nearest_indices_match_cv2_resize():
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 255, (18, 24)).astype(np.uint8)
+    for out_h, out_w in [(13, 50), (36, 7), (100, 100)]:
+        want = cv2.resize(src, (out_w, out_h), interpolation=cv2.INTER_NEAREST)
+        iy = cv2_nearest_indices(18, out_h)
+        ix = cv2_nearest_indices(24, out_w)
+        got = src[iy[:, None], ix[None, :]]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_resize_nearest_to_padded():
+    src = jnp.asarray(np.arange(16).reshape(4, 4).astype(np.int32))
+    out = np.asarray(
+        resize_nearest_to_padded(src, jnp.asarray(8), jnp.asarray(8), 10, 10,
+                                 fill=255)
+    )
+    want = cv2.resize(np.arange(16).reshape(4, 4).astype(np.uint8), (8, 8),
+                      interpolation=cv2.INTER_NEAREST)
+    np.testing.assert_array_equal(out[:8, :8].astype(np.uint8), want)
+    assert np.all(out[8:] == 255) and np.all(out[:, 8:] == 255)
