@@ -1,0 +1,404 @@
+"""Datasets and the host-side prefetching loader.
+
+Parity: reference ``simseg/datasets/`` —
+- RawImageDataset (clip_dataset.py:17-77): CSV-driven (image, caption) pairs
+  with train-time caption corruption, tokenized to max_length
+- ParquetDataset (clip_dataset.py:80-122): f30k/coco ``valid.parquet`` with
+  imbytes/caption/image_id/id columns
+- SegDataset (seg/seg_dataset.py:13-64): pascal_voc / pascal_context /
+  coco_stuff val splits returning (transformed image, raw-size label)
+- ImageFolder (linear_prob/linear_dataset.py): class-per-directory ImageNet
+- the ``clip``/``seg``/``imagenet_local`` DATALOADER factories with
+  shuffle / sequential / debias train mixing (clip_dataset.py:237-253,
+  clip_runner.py:79-183)
+
+TPU-native loader: instead of torch DataLoader worker *processes* + pinned
+host tensors + per-step H2D copies, a thread pool decodes/transforms and a
+background prefetcher keeps a queue of ready uint8 numpy batches; images
+cross to the device as uint8 and are normalized on device
+(transforms.normalize_images), so the PCIe/ICI transfer is 4x smaller. In a
+multi-host pod each process loads its own shard (process_index-strided).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from glob import glob
+from io import BytesIO
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from simseg_tpu.data.corruption import process_caption
+from simseg_tpu.data.transforms import build_transforms
+from simseg_tpu.utils.logger import logger
+from simseg_tpu.utils.registry import Registry
+
+DATALOADER = Registry("DATALOADER")
+
+
+# --------------------------------------------------------------------------
+# datasets (index -> sample dict of numpy arrays / python scalars)
+# --------------------------------------------------------------------------
+
+class CsvPairDataset:
+    """CSV (image, caption[, image_id, caption_id]) pairs
+    (parity: RawImageDataset)."""
+
+    def __init__(self, cfg, name: str, tokenizer, transforms, mode: str = "train"):
+        self.name = name
+        self.mode = mode
+        self.tokenizer = tokenizer
+        self.transforms = transforms
+        self.max_length = cfg.model.max_length
+        import pandas as pd
+
+        split = "train" if mode == "train" else "valid"
+        self.image_base = os.path.join(cfg.data.data_path, name, split)
+        df = pd.read_csv(os.path.join(cfg.data.data_path, name, f"{split}_anno.csv"))
+        self.images = df["image"].tolist()
+        self.captions = df["caption"].tolist()
+        self.image_ids = df["image_id"].tolist() if "image_id" in df else None
+        self.caption_ids = df["caption_id"].tolist() if "caption_id" in df else None
+
+    def __len__(self) -> int:
+        return len(self.captions)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        caption = self.captions[index]
+        if self.mode == "train":
+            caption = process_caption(self.tokenizer, caption)
+        enc = self.tokenizer(caption, padding="max_length", truncation=True,
+                             max_length=self.max_length)
+        img = Image.open(os.path.join(self.image_base, self.images[index])).convert("RGB")
+        sample = {
+            "image": self.transforms(img),
+            "input_ids": np.asarray(enc["input_ids"][0], np.int32),
+            "attention_mask": np.asarray(enc["attention_mask"][0], np.int32),
+        }
+        if self.mode != "train" and self.image_ids is not None:
+            sample["image_id"] = np.int64(self.image_ids[index])
+            sample["caption_id"] = np.int64(self.caption_ids[index])
+        return sample
+
+
+class ParquetRetrievalDataset:
+    """f30k/coco valid.parquet (parity: ParquetDataset)."""
+
+    def __init__(self, cfg, name: str, tokenizer, transforms):
+        import pyarrow.parquet as pq
+
+        self.tokenizer = tokenizer
+        self.transforms = transforms
+        self.max_length = cfg.model.max_length
+        df = pq.read_table(
+            os.path.join(cfg.data.data_path, name, "valid.parquet")
+        ).to_pandas()
+        self.images = df["imbytes"].tolist()
+        self.captions = df["caption"].tolist()
+        self.image_ids = df["image_id"].tolist()
+        self.caption_ids = df["id"].tolist()
+
+    def __len__(self) -> int:
+        return len(self.captions)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        enc = self.tokenizer(self.captions[index], padding="max_length",
+                             truncation=True, max_length=self.max_length)
+        img = Image.open(BytesIO(self.images[index])).convert("RGB")
+        return {
+            "image": self.transforms(img),
+            "input_ids": np.asarray(enc["input_ids"][0], np.int32),
+            "attention_mask": np.asarray(enc["attention_mask"][0], np.int32),
+            "image_id": np.int64(self.image_ids[index]),
+            "caption_id": np.int64(self.caption_ids[index]),
+        }
+
+
+class SegDataset:
+    """Val-only segmentation datasets (parity: seg/seg_dataset.py:13-64)."""
+
+    LAYOUTS = {
+        "pascal_voc": ("VOCdevkit/VOC2012", "JPEGImages", "SegmentationClass",
+                       "ImageSets/Segmentation/val.txt"),
+        "pascal_context": ("VOCdevkit/VOC2010", "JPEGImages",
+                           "SegmentationClassContext",
+                           "ImageSets/SegmentationContext/val.txt"),
+        "coco_stuff": ("coco_stuff164k", "images/val2017", "annotations/val2017", None),
+    }
+
+    def __init__(self, cfg, name: str, transforms):
+        if name not in self.LAYOUTS:
+            raise NotImplementedError(f"dataset '{name}'")
+        self.name = name
+        self.transforms = transforms
+        root, img_dir, label_dir, list_file = self.LAYOUTS[name]
+        self.image_path = os.path.join(cfg.data.data_path, root, img_dir)
+        self.label_path = os.path.join(cfg.data.data_path, root, label_dir)
+        if list_file is not None:
+            with open(os.path.join(cfg.data.data_path, root, list_file)) as f:
+                self.names = [l.rstrip() for l in f]
+        else:
+            files = glob(os.path.join(self.image_path, "*.jpg"))
+            self.names = [os.path.basename(p)[:-len(".jpg")] for p in files]
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        item = self.names[index]
+        img = Image.open(os.path.join(self.image_path, item + ".jpg")).convert("RGB")
+        label_name = item + ("_labelTrainIds" if self.name == "coco_stuff" else "")
+        label = np.asarray(
+            Image.open(os.path.join(self.label_path, label_name + ".png"))
+        )
+        return {"image": self.transforms(img), "mask_label": label.astype(np.int32)}
+
+
+class ImageFolderDataset:
+    """class-per-directory layout (parity: linear_prob/linear_dataset.py)."""
+
+    def __init__(self, root: str, transforms):
+        self.transforms = transforms
+        classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples: List = []
+        for c in classes:
+            for p in sorted(glob(os.path.join(root, c, "*"))):
+                self.samples.append((p, self.class_to_idx[c]))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        path, label = self.samples[index]
+        img = Image.open(path).convert("RGB")
+        return {"image": self.transforms(img), "label": np.int64(label)}
+
+
+# --------------------------------------------------------------------------
+# loader: thread-pool decode + background prefetch
+# --------------------------------------------------------------------------
+
+def _collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        out[k] = np.stack(vals) if np.ndim(vals[0]) > 0 else np.asarray(vals)
+    return out
+
+
+class DataLoader:
+    """Iterable over collated numpy batches with threaded decode and
+    background prefetch. Deterministic per (seed, epoch)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        seed: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+
+    def set_epoch(self, epoch: int) -> None:
+        """parity: DistributedSampler.set_epoch (core/hooks/dist.py:64-67)."""
+        self.epoch = epoch
+
+    def _indices(self) -> List[int]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        return idx[self.shard_index::self.shard_count]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        batches = [
+            indices[i:i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    q.put(_collate(samples))
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+# --------------------------------------------------------------------------
+# mixing iterators for the three train modes
+# --------------------------------------------------------------------------
+
+class ConcatDataset:
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self.offsets[-1])
+
+    def __getitem__(self, index: int):
+        ds = int(np.searchsorted(self.offsets, index, side="right")) - 1
+        return self.datasets[ds][index - int(self.offsets[ds])]
+
+
+def sequential_batches(loaders: Sequence[DataLoader]) -> Iterator:
+    """One dataset after another (parity: clip_runner.py:109-138)."""
+    for loader in loaders:
+        yield from loader
+
+
+def debias_batches(loaders: Sequence[DataLoader], seed: int = 0) -> Iterator:
+    """Per-step weighted random dataset choice, weights proportional to
+    remaining batches (parity: clip_runner.py:140-183)."""
+    rng = random.Random(seed)
+    iters = [iter(l) for l in loaders]
+    remaining = [len(l) for l in loaders]
+    while any(r > 0 for r in remaining):
+        choice = rng.choices(range(len(iters)), weights=remaining)[0]
+        try:
+            yield next(iters[choice])
+            remaining[choice] -= 1
+        except StopIteration:
+            remaining[choice] = 0
+
+
+# --------------------------------------------------------------------------
+# registered factories
+# --------------------------------------------------------------------------
+
+def _process_shard():
+    try:
+        import jax
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+@DATALOADER.register(name="clip")
+def build_clip_dataloaders(cfg, tokenizer=None) -> Dict[str, Any]:
+    """parity: clip_dataset.py:237-253. Per-process batch size is
+    global/process_count (each process feeds its local devices)."""
+    from simseg_tpu.data.tokenizer import build_tokenizer
+
+    if tokenizer is None:
+        tokenizer = build_tokenizer(
+            cfg.model.text_encoder.tag,
+            vocab_file=cfg.data.get("vocab_file"),
+        )
+    shard, nshards = _process_shard()
+    train_tf = build_transforms(cfg, "train")
+    valid_tf = build_transforms(cfg, "valid")
+    bs = cfg.data.batch_size // nshards
+    bs_val = cfg.data.batch_size_val // nshards
+
+    def make_train(name):
+        return CsvPairDataset(cfg, name, tokenizer, train_tf, "train")
+
+    if cfg.data.train_type == "shuffle":
+        ds = ConcatDataset([make_train(n) for n in cfg.data.train_name])
+        train = [DataLoader(ds, bs, shuffle=True, drop_last=True,
+                            num_workers=cfg.data.num_workers,
+                            shard_index=shard, shard_count=nshards)]
+        train_datasets = None
+    elif cfg.data.train_type in ("sequential", "debias"):
+        train_datasets = [make_train(n) for n in cfg.data.train_name]
+        train = [
+            DataLoader(d, bs, shuffle=True, drop_last=True,
+                       num_workers=cfg.data.num_workers,
+                       shard_index=shard, shard_count=nshards)
+            for d in train_datasets
+        ]
+    else:
+        raise NotImplementedError(cfg.data.train_type)
+
+    val = []
+    if cfg.data.enable_valid:
+        for name in cfg.data.valid_name:
+            try:
+                ds = ParquetRetrievalDataset(cfg, name, tokenizer, valid_tf)
+            except FileNotFoundError:
+                ds = CsvPairDataset(cfg, name, tokenizer, valid_tf, "valid")
+            val.append(
+                DataLoader(ds, bs_val, num_workers=cfg.data.num_workers,
+                           shard_index=shard, shard_count=nshards)
+            )
+    return dict(train=train, train_dataset=train_datasets, val=val)
+
+
+def build_seg_valid_loader(cfg, name: str) -> DataLoader:
+    """parity: seg_dataset.py:67-81 (batch_size_val, typically 1)."""
+    tf = build_transforms(cfg, "valid")
+    return DataLoader(SegDataset(cfg, name, tf), cfg.data.batch_size_val,
+                      num_workers=cfg.data.num_workers)
+
+
+@DATALOADER.register(name="seg")
+def build_seg_dataloaders(cfg) -> Dict[str, Any]:
+    val = []
+    if cfg.data.enable_valid:
+        val = [build_seg_valid_loader(cfg, n) for n in cfg.data.valid_name]
+    return dict(val=val)
+
+
+@DATALOADER.register(name="imagenet_local")
+def build_imagenet_dataloaders(cfg) -> Dict[str, Any]:
+    shard, nshards = _process_shard()
+    train_tf = build_transforms(cfg, "train")
+    valid_tf = build_transforms(cfg, "valid")
+    root = cfg.data.data_path
+    train_ds = ImageFolderDataset(os.path.join(root, "train"), train_tf)
+    val_ds = ImageFolderDataset(os.path.join(root, "val"), valid_tf)
+    train = DataLoader(train_ds, cfg.data.batch_size // nshards, shuffle=True,
+                       drop_last=True, num_workers=cfg.data.num_workers,
+                       shard_index=shard, shard_count=nshards)
+    val = DataLoader(val_ds, cfg.data.batch_size_val // nshards,
+                     num_workers=cfg.data.num_workers,
+                     shard_index=shard, shard_count=nshards)
+    return dict(train=[train], train_dataset=None, val=[val])
