@@ -1,0 +1,239 @@
+"""Training runners: host-side epoch/step loops driving the jitted step.
+
+Parity: reference ``simseg/core/runners/base_runner.py:20-86`` (hook
+registry + call fan-out), ``epoch_runner.py:15-178`` (epoch/step loops,
+steps math, step-interval validation, mid-epoch resume) and
+``tasks/clip/clip_runner.py:19-299`` (hook wiring, the three train modes,
+batch_processor). The mutable-model/optimizer plumbing is replaced by a
+functional TrainState threaded through a pjit-compiled step; hooks observe
+the same lifecycle points on the host.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from simseg_tpu.core.hooks import Hook, HookMode, LogMetrics, Priority
+from simseg_tpu.core.lr_schedule import build_schedule
+from simseg_tpu.core.optim import build_optimizer
+from simseg_tpu.data.datasets import debias_batches, sequential_batches
+from simseg_tpu.data.transforms import normalize_images
+from simseg_tpu.engine.bsgs import make_bsgs_train_step
+from simseg_tpu.engine.train_step import TrainState, make_eval_step, make_train_step
+from simseg_tpu.parallel import make_mesh, shard_batch
+from simseg_tpu.utils.collections import AttrDict
+from simseg_tpu.utils.logger import logger
+
+
+class BaseRunner:
+    """Hook registry + fan-out (parity: base_runner.py:20-86)."""
+
+    def __init__(self, cfg) -> None:
+        self.cfg = cfg
+        self.state = AttrDict()  # hook scratch space
+        self.state.log_metrics = LogMetrics()
+        self._hooks: List[Hook] = []
+        self.inference = bool(cfg.get("inference", False))
+
+    def register_hook(self, hook: Hook, priority: Priority = Priority.NORMAL,
+                      hook_mode: HookMode = HookMode.GLOBAL) -> None:
+        if self.inference and hook_mode == HookMode.TRAIN:
+            return
+        if not self.inference and hook_mode == HookMode.VAL:
+            return
+        hook._priority = int(priority)
+        self._hooks.append(hook)
+        self._hooks.sort(key=lambda h: h._priority)
+
+    def call_hook(self, fn_name: str) -> None:
+        for hook in self._hooks:
+            getattr(hook, fn_name)(self)
+
+
+class CLIPRunner(BaseRunner):
+    """Contrastive pretraining runner (parity: clip_runner.py)."""
+
+    def __init__(
+        self,
+        cfg,
+        model,
+        dataloaders: Dict[str, Any],
+        params=None,
+        mesh=None,
+        rng: Optional[jax.Array] = None,
+    ) -> None:
+        super().__init__(cfg)
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.train_loaders: Sequence = dataloaders.get("train") or []
+        self.val_loaders: Sequence = dataloaders.get("val") or []
+        self.train_type = cfg.data.train_type
+
+        self.epoch = 0
+        self.step = 0
+        self.inner_step = 0
+        self.max_epochs = cfg.epoch
+        self.val_interval = cfg.runner.val_interval
+        self.val_interval_steps = cfg.runner.val_interval_steps
+
+        # steps math (parity: epoch_runner.py:39-65)
+        loader_steps = sum(len(l) for l in self.train_loaders)
+        self.train_steps = (
+            cfg.data.train_steps if cfg.data.train_steps > 0 else loader_steps
+        )
+        self.total_steps = self.train_steps * self.max_epochs
+
+        if params is None:
+            params = self._init_params(rng or jax.random.key(cfg.seed or 0))
+        tx, set_lr = build_optimizer(cfg, params)
+        self.tx = tx
+        self.train_state = TrainState.create(params, tx)
+        self.lr_schedule = build_schedule(cfg, self.total_steps)
+
+        smoothing = cfg.loss.get("smoothing", 0.0)
+        group_size = cfg.loss.get("group_size", -1)
+        if cfg.runner.name == "clip_bsgs":
+            num_micro = max(1, cfg.data.batch_size // cfg.data.batch_size_train)
+            self._step_fn = make_bsgs_train_step(
+                model, tx, set_lr, num_micro=num_micro, mesh=self.mesh,
+                smoothing=smoothing,
+            )
+        else:
+            self._step_fn = make_train_step(
+                model, tx, set_lr, mesh=self.mesh, smoothing=smoothing,
+                group_size=(group_size if group_size and group_size > 0 else -1),
+            )
+        self._eval_fn = make_eval_step(model, self.mesh)
+        self._rng = rng or jax.random.key(cfg.seed or 0)
+        self._norm_mean = tuple(cfg.transforms.normalize.mean)
+        self._norm_std = tuple(cfg.transforms.normalize.std)
+        self.outputs: Dict[str, Any] = {}
+
+        self.init_hook()
+        self.call_hook("init_runner")
+
+    # -- setup ----------------------------------------------------------------
+    def _init_params(self, rng):
+        size = self.cfg.transforms.input_size
+        dummy = {
+            "image": np.zeros((1, size, size, 3), np.float32),
+            "input_ids": np.zeros((1, self.cfg.model.max_length), np.int32),
+            "attention_mask": np.ones((1, self.cfg.model.max_length), np.int32),
+        }
+        return self.model.init(rng, dummy)
+
+    def init_hook(self) -> None:
+        """Default hook wiring (parity: clip_runner.py:44-63). Tasks may
+        override/extend before run()."""
+        from simseg_tpu.core.train_hooks import (
+            CheckpointHook,
+            LogHook,
+            RetrievalEvalHook,
+            WandbHook,
+        )
+
+        self.register_hook(CheckpointHook(), Priority.LOW)
+        self.register_hook(LogHook(), Priority.VERY_LOW)
+        if self.val_loaders:
+            self.register_hook(RetrievalEvalHook(), Priority.VERY_LOW)
+        if self.cfg.get("wandb", {}).get("enable", False):
+            self.register_hook(WandbHook(), Priority.LOWEST)
+
+    # -- data -------------------------------------------------------------------
+    def _prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        device_batch = {
+            k: v for k, v in batch.items()
+            if k in ("image", "input_ids", "attention_mask", "ignore_mask")
+        }
+        sharded = shard_batch(device_batch, self.mesh)
+        if sharded["image"].dtype == np.uint8 or str(sharded["image"].dtype) == "uint8":
+            sharded["image"] = normalize_images(
+                sharded["image"], self._norm_mean, self._norm_std
+            )
+        return sharded
+
+    def _train_batch_iter(self):
+        for loader in self.train_loaders:
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(self.epoch)
+        if self.train_type == "shuffle":
+            return iter(self.train_loaders[0])
+        if self.train_type == "sequential":
+            return sequential_batches(self.train_loaders)
+        if self.train_type == "debias":
+            return debias_batches(self.train_loaders, seed=self.epoch)
+        raise NotImplementedError(self.train_type)
+
+    # -- loops ----------------------------------------------------------------
+    def run(self) -> None:
+        self.call_hook("before_run")
+        while self.epoch < self.max_epochs:
+            self.train()
+            self.epoch += 1
+            if (
+                self.val_loaders
+                and self.val_interval_steps < 0
+                and self.epoch % self.val_interval == 0
+            ):
+                for i, loader in enumerate(self.val_loaders):
+                    self.val(loader, i)
+        self.call_hook("after_run")
+
+    def train(self) -> None:
+        self.call_hook("_before_train_epoch")
+        start_inner = self.inner_step  # mid-epoch resume (clip_runner.py:267-278)
+        self.inner_step = 0
+        for i, batch in enumerate(self._train_batch_iter()):
+            if i < start_inner:
+                continue
+            if self.inner_step >= self.train_steps:
+                break
+            self.inner_step = i
+            self.call_hook("_before_train_step")
+            self.outputs = self.batch_processor(batch)
+            self.call_hook("_after_train_step")
+            self.step += 1
+            if (
+                self.val_interval_steps > 0
+                and self.step % self.val_interval_steps == 0
+            ):
+                for j, loader in enumerate(self.val_loaders):
+                    self.val(loader, j)
+        self.inner_step = 0
+        self.call_hook("_after_train_epoch")
+
+    def batch_processor(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """One train step (parity: clip_runner.py:216-251). Returns device
+        metrics — hooks materialize lazily at log cadence."""
+        device_batch = self._prepare_batch(batch)
+        lr = self.lr_schedule(self.step)
+        step_rng = None
+        if self.cfg.runner.stable_random != "none":
+            step_rng = jax.random.fold_in(self._rng, self.step)
+        self.train_state, metrics = self._step_fn(
+            self.train_state, device_batch, step_rng, lr
+        )
+        self.state.log_metrics.add_counter(
+            "samples", batch["image"].shape[0]
+        )
+        return metrics
+
+    def val(self, loader, loader_idx: int = 0) -> None:
+        self.state.val_loader_idx = loader_idx
+        self.call_hook("_before_val_epoch")
+        for batch in loader:
+            self.call_hook("_before_val_step")
+            device_batch = self._prepare_batch(batch)
+            img, txt = self._eval_fn(self.train_state.params, device_batch)
+            self.outputs = {
+                "image_emb": img,
+                "text_emb": txt,
+                "image_id": batch.get("image_id"),
+                "caption_id": batch.get("caption_id"),
+            }
+            self.call_hook("_after_val_step")
+        self.call_hook("_after_val_epoch")

@@ -1,0 +1,214 @@
+"""Standard training hooks: logging, checkpointing, retrieval eval, wandb.
+
+Parity:
+- LogHook: reference ``core/hooks/log.py:64-146`` — per-interval train line
+  with metric means + step time, epoch summaries.
+- CheckpointHook: ``core/hooks/checkpoint.py:80-187`` — step-interval +
+  per-epoch + latest checkpoints, auto-resume (incl. mid-epoch inner_step),
+  external pretrained fallback via the torch bridge.
+- RetrievalEvalHook: ``tasks/clip/hooks/eval.py:9-99`` — collects
+  embeddings during validation, computes R@1/5/10 + RSUM at epoch end.
+- WandbHook: ``core/hooks/wandb_hook.py:10-81`` — resumable run id stored in
+  checkpoint meta; interval-mean flushing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List
+
+import jax
+import numpy as np
+
+from simseg_tpu.checkpoint.native import (
+    dump_config_snapshot,
+    has_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from simseg_tpu.core.hooks import Hook
+from simseg_tpu.utils.logger import logger
+from simseg_tpu.utils.retrieval import retrieval_summary
+
+
+class LogHook(Hook):
+    _METRIC_KEYS = ("loss", "i2t_acc", "t2i_acc", "temperature", "grad_norm", "lr")
+
+    def before_run(self, runner) -> None:
+        self._t0 = time.time()
+        self._step_times: List[float] = []
+
+    def before_train_step(self, runner) -> None:
+        self._t0 = time.time()
+
+    def after_train_step(self, runner) -> None:
+        self._step_times.append(time.time() - self._t0)
+        interval = runner.cfg.log.interval_train
+        if not self.every_n_inner_steps(runner, interval):
+            return
+        # materialize device metrics only at log cadence
+        metrics = {
+            k: float(v) for k, v in jax.device_get(runner.outputs).items()
+            if k in self._METRIC_KEYS
+        }
+        for k, v in metrics.items():
+            runner.state.log_metrics.add_store(k, v)
+        rate = runner.state.log_metrics.pop_counter_rate("samples")
+        kv = " ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
+        logger.info(
+            f"Epoch [{runner.epoch + 1}/{runner.max_epochs}]"
+            f"[{runner.inner_step + 1}/{runner.train_steps}] {kv} "
+            f"step_time: {np.mean(self._step_times[-interval:]):.3f}s "
+            f"({rate * interval / max(len(self._step_times[-interval:]), 1):.1f} img/s)"
+        )
+
+    def after_train_epoch(self, runner) -> None:
+        if self._step_times:
+            logger.emph(
+                f"Epoch {runner.epoch + 1} done: avg step time "
+                f"{np.mean(self._step_times):.3f}s over {len(self._step_times)} steps"
+            )
+        self._step_times = []
+
+
+class CheckpointHook(Hook):
+    def before_run(self, runner) -> None:
+        cfg = runner.cfg
+        dump_config_snapshot(cfg.ckpt.dir, cfg)
+        if cfg.ckpt.auto_resume and has_checkpoint(cfg.ckpt.dir):
+            try:
+                runner.train_state, meta = load_checkpoint(
+                    cfg.ckpt.dir, runner.train_state
+                )
+                runner.epoch = int(meta.get("epoch", 0))
+                runner.step = int(meta.get("step", 0))
+                runner.inner_step = int(meta.get("inner_step", 0))
+                runner.state.wandb_id = meta.get("wandb_id")
+                logger.emph(
+                    f"Auto-resumed at epoch {runner.epoch}, step {runner.step}"
+                )
+                return
+            except Exception as e:  # parity: bare-try fallback (:142-163)
+                logger.warning(f"Auto-resume failed ({e}); trying external")
+        if cfg.ckpt.external_resume:
+            self._load_external(runner, cfg.ckpt.external_resume)
+
+    def _load_external(self, runner, path: str) -> None:
+        """torch .pth or native checkpoint as pretrained init
+        (parity: tasks/clip/hooks/checkpoint.py external resume)."""
+        cfg = runner.cfg
+        if path.endswith((".pth", ".pt")):
+            from simseg_tpu.checkpoint.torch_bridge import load_clip_checkpoint
+
+            params, report = load_clip_checkpoint(
+                path,
+                runner.train_state.params,
+                projection=cfg.model.projection.name,
+                prefix_rules=list(cfg.model.get("pretrain_prefix_change_list", [])),
+                only_image_encoder=cfg.ckpt.get("only_load_image_encoder", False),
+                only_text_encoder=cfg.ckpt.get("only_load_text_encoder", False),
+                strict=not cfg.ckpt.get("soft_resume", False),
+            )
+            runner.train_state = runner.train_state.replace(params=params)
+        else:
+            runner.train_state, _ = load_checkpoint(
+                path, runner.train_state, name=""
+            )
+        logger.emph(f"Loaded external checkpoint {path}")
+
+    def _meta(self, runner) -> Dict[str, Any]:
+        return {
+            "epoch": runner.epoch,
+            "step": runner.step,
+            "inner_step": runner.inner_step + 1,
+            "wandb_id": runner.state.get("wandb_id"),
+        }
+
+    def after_train_step(self, runner) -> None:
+        interval = runner.cfg.ckpt.step_interval
+        if interval > 0 and self.every_n_steps(runner, interval):
+            save_checkpoint(
+                runner.cfg.ckpt.dir, runner.cfg.ckpt.filename,
+                runner.train_state, self._meta(runner),
+            )
+
+    def after_train_epoch(self, runner) -> None:
+        meta = self._meta(runner)
+        meta["epoch"] = runner.epoch + 1
+        meta["inner_step"] = 0
+        save_checkpoint(
+            runner.cfg.ckpt.dir, f"epoch_{runner.epoch + 1:03d}",
+            runner.train_state, meta,
+        )
+
+
+class RetrievalEvalHook(Hook):
+    """Collect per-step embeddings; epoch end: R@1/5/10 + RSUM
+    (parity: tasks/clip/hooks/eval.py:9-99; the all-gather of the reference
+    is unnecessary — eval embeddings are already globally addressable)."""
+
+    def before_val_epoch(self, runner) -> None:
+        self._img, self._txt, self._iid, self._cid = [], [], [], []
+
+    def after_val_step(self, runner) -> None:
+        out = runner.outputs
+        self._img.append(np.asarray(jax.device_get(out["image_emb"])))
+        self._txt.append(np.asarray(jax.device_get(out["text_emb"])))
+        if out.get("image_id") is not None:
+            self._iid.append(np.asarray(out["image_id"]))
+            self._cid.append(np.asarray(out["caption_id"]))
+
+    def after_val_epoch(self, runner) -> None:
+        img = np.concatenate(self._img)
+        txt = np.concatenate(self._txt)
+        if self._iid:
+            iid = np.concatenate(self._iid)
+            cid = np.concatenate(self._cid)
+        else:
+            iid = np.arange(img.shape[0])
+            cid = np.arange(txt.shape[0])
+        keep = iid > -1  # drop padding rows (eval.py:32-33)
+        summary = retrieval_summary(img[keep], txt[keep], iid[keep], cid[keep])
+        runner.state.retrieval_summary = summary
+        pretty = " ".join(f"{k}: {v:.4f}" for k, v in summary.items())
+        logger.emph(f"[retrieval val #{runner.state.get('val_loader_idx', 0)}] {pretty}")
+
+
+class WandbHook(Hook):
+    def before_run(self, runner) -> None:
+        try:
+            import wandb
+        except ImportError:
+            logger.warning("wandb not installed; WandbHook disabled")
+            self._run = None
+            return
+        cfg = runner.cfg
+        self._run = wandb.init(
+            project=cfg.wandb.project,
+            entity=cfg.wandb.entity,
+            id=runner.state.get("wandb_id"),
+            resume="allow",
+            config=cfg.to_dict(),
+        )
+        runner.state.wandb_id = self._run.id
+
+    def after_train_step(self, runner) -> None:
+        if getattr(self, "_run", None) is None:
+            return
+        if not self.every_n_inner_steps(runner, runner.cfg.log.interval_train):
+            return
+        keys = runner.cfg.wandb.train_record_keys
+        metrics = {
+            k: float(v) for k, v in jax.device_get(runner.outputs).items() if k in keys
+        }
+        self._run.log(metrics, step=runner.step)
+
+    def after_val_epoch(self, runner) -> None:
+        if getattr(self, "_run", None) is None:
+            return
+        if runner.state.get("retrieval_summary"):
+            self._run.log(dict(runner.state.retrieval_summary), step=runner.step)
+
+    def after_run(self, runner) -> None:
+        if getattr(self, "_run", None) is not None:
+            self._run.finish()

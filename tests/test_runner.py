@@ -1,0 +1,125 @@
+"""End-to-end runner test: tiny model + synthetic data through the full
+hook lifecycle, checkpoint/resume round-trip included."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from simseg_tpu.config import new_base_cfg, update_cfg
+from simseg_tpu.core.runner import CLIPRunner
+from simseg_tpu.data.datasets import build_clip_dataloaders
+from simseg_tpu.data.tokenizer import WordPieceTokenizer, make_test_vocab
+from simseg_tpu.models.clip import CLIPModel
+from simseg_tpu.tasks.clip.config import task_cfg_init_fn, update_clip_config
+from simseg_tpu.checkpoint.native import has_checkpoint, load_checkpoint, save_checkpoint
+
+
+def make_toy_data(root, n_train=32, n_val=16):
+    rng = np.random.default_rng(0)
+    words = ["dog", "cat", "car", "tree"]
+    for split, n in [("train", n_train), ("valid", n_val)]:
+        d = root / "toy" / split
+        d.mkdir(parents=True, exist_ok=True)
+        rows = ["image,caption,image_id,caption_id"]
+        for i in range(n):
+            name = f"{split}_{i}.jpg"
+            Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(d / name)
+            rows.append(f"{name},a photo of the {words[i % 4]},{i // 2},{i}")
+        (root / "toy" / f"{split}_anno.csv").write_text("\n".join(rows))
+
+
+@pytest.fixture
+def toy_cfg(tmp_path):
+    make_toy_data(tmp_path)
+    cfg = update_cfg(task_cfg_init_fn, None, argv=[
+        "epoch=2",
+        "seed=0",
+        "dist.bf16=false",
+        "runner.stable_random=step",
+        f"data.data_path={tmp_path}/",
+        "data.train_name=[toy]",
+        "data.valid_name=[toy]",
+        "data.train_type=shuffle",
+        "data.batch_size=16",
+        "data.batch_size_val=8",
+        "data.num_workers=2",
+        f"ckpt.dir={tmp_path}/out",
+        "ckpt.step_interval=3",
+        "log.interval_train=1",
+        "model.max_length=12",
+        "model.pool.name=loda",
+        "model.pool.loda.image_k=3",
+        "model.pool.loda.text_k=1",
+        "loss.temperature.name=parameter",
+        "transforms.input_size=32",
+        "transforms.resize.size=32",
+        "transforms.train_transforms=[resize]",
+        "optim.lr.name=constant_schedule",
+        "optim.lr.init=1e-3",
+    ], preprocess_fn=None, target=new_base_cfg())
+    return cfg, tmp_path
+
+
+def tiny_model():
+    return CLIPModel(
+        image_tag="vit_test", img_size=32, text_tag="bert_test",
+        projection_name="simple", projection_dim=16, pool_name="loda",
+        image_k=3, text_k=1, temperature_name="parameter",
+        temperature_init=0.02,
+    )
+
+
+def test_runner_end_to_end(toy_cfg):
+    cfg, tmp_path = toy_cfg
+    tok = WordPieceTokenizer(make_test_vocab(["a", "photo", "of", "the",
+                                              "dog", "cat", "car", "tree"]))
+    loaders = build_clip_dataloaders(cfg, tokenizer=tok)
+    runner = CLIPRunner(cfg, tiny_model(), loaders)
+    assert runner.train_steps == 2  # 32 samples / batch 16
+    runner.run()
+
+    assert runner.epoch == 2
+    assert runner.step == 4
+    # checkpoints written (step-interval 3 -> one step ckpt; 2 epoch ckpts)
+    assert has_checkpoint(str(tmp_path / "out"))
+    assert os.path.isdir(tmp_path / "out" / "epoch_002")
+    assert os.path.exists(tmp_path / "out" / "global.yaml")
+    # retrieval eval ran and produced the full table
+    assert "rsum" in runner.state.retrieval_summary
+    assert runner.state.retrieval_summary["i2t_R@10"] >= 0
+
+
+def test_runner_auto_resume(toy_cfg):
+    cfg, tmp_path = toy_cfg
+    tok = WordPieceTokenizer(make_test_vocab(["a", "photo", "of", "the",
+                                              "dog", "cat", "car", "tree"]))
+    loaders = build_clip_dataloaders(cfg, tokenizer=tok)
+    r1 = CLIPRunner(cfg, tiny_model(), loaders)
+    r1.run()
+    final_step = r1.step
+
+    # new runner: auto-resume restores step/epoch and parameters
+    r2 = CLIPRunner(cfg, tiny_model(), loaders)
+    r2.call_hook("before_run")
+    assert r2.step == final_step
+    assert r2.epoch == 2
+    a = jax.tree.leaves(r1.train_state.params)
+    b = jax.tree.leaves(r2.train_state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from simseg_tpu.engine import TrainState
+    import optax
+
+    params = {"w": np.ones((3,), np.float32)}
+    tx = optax.sgd(0.1)
+    state = TrainState.create(params, tx)
+    save_checkpoint(str(tmp_path), "ck", state, {"epoch": 5, "step": 99})
+    restored, meta = load_checkpoint(str(tmp_path), state)
+    assert meta["epoch"] == 5 and meta["step"] == 99
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), params["w"])
