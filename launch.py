@@ -1,0 +1,55 @@
+"""Experiment launcher.
+
+Parity: reference ``launch.py:27-93`` — picks the task's train script, tees
+stdout to ``./output/<exp>_log.txt``. The reference fans out N GPU processes
+via torch.distributed.launch; on TPU one process drives all local chips
+through the mesh, and multi-host pods launch one process per host with
+``jax.distributed`` picking up the pod runtime — so the launcher is a thin
+exec + log-tee.
+
+Usage:
+    python launch.py --task clip --cfg configs/clip/simseg.vit-b.yaml [k=v ...]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+TASKS = {
+    "clip": "simseg_tpu/tasks/clip/train.py",
+    "linear_prob": "simseg_tpu/tasks/linear_prob/train.py",
+}
+
+
+def main():
+    parser = argparse.ArgumentParser(description="SimSeg-TPU launcher")
+    parser.add_argument("--task", type=str, default="clip", choices=sorted(TASKS))
+    parser.add_argument("--cfg", type=str, required=True)
+    parser.add_argument("--exp_name", type=str, default="")
+    args, passthrough = parser.parse_known_args()
+
+    exp = args.exp_name
+    if not exp:
+        exp = os.path.splitext(os.path.basename(args.cfg))[0]
+
+    os.makedirs("./output", exist_ok=True)
+    log_path = f"./output/{exp}_log.txt"
+
+    cmd = [sys.executable, TASKS[args.task], "--cfg", args.cfg] + passthrough
+    print(f"[launch] {' '.join(cmd)}")
+    print(f"[launch] teeing output to {log_path}")
+
+    with open(log_path, "a") as log:
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
+        )
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            log.write(line)
+        proc.wait()
+    sys.exit(proc.returncode)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,8 @@ def make_seg_decode_fn(
         best_weight:(B, H, W) float32 winning score*mask weight (0 where bg)
     """
     grid = image_size // patch_size
+    # candidates come from the top-k shortlist, so the budget can't exceed it
+    candidate_classes = min(candidate_classes, top_cls_num)
 
     @jax.jit
     def decode(dense, pooled, text_bank, raw_images):

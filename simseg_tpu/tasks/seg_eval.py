@@ -1,0 +1,164 @@
+"""Zero-shot semantic segmentation evaluation core.
+
+Parity: reference ``tools/seg_evaluation.py`` —
+- zero_shot_classifier (:57-75): per class, embed the 80 OpenAI prompts
+  through the text tower, mean, L2-normalize
+- evaluate_benchmark (:78-181): per-image decode (here the fused on-device
+  kernel from ops/seg_decode) + GT-size nearest resize + mIoU accumulation
+- dataset specifics (:240-250): label bank files, top_cls_num = 30 for
+  pascal_context else 10, batch_size_val images at a time.
+
+The whole per-batch path (two tower forwards + CRF decode + confusion
+accumulation) is jitted; the host only feeds uint8 images and pulls back
+two (C,) histograms per batch.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simseg_tpu.data.transforms import normalize_images
+from simseg_tpu.ops.morphology import resize_nearest_to_padded
+from simseg_tpu.ops.pooling import l2_normalize
+from simseg_tpu.ops.seg_decode import make_seg_decode_fn
+from simseg_tpu.utils.logger import logger
+from simseg_tpu.utils.metrics import intersect_and_union, miou_from_totals
+from simseg_tpu.utils.prompts import openai_imagenet_template
+
+# per-dataset max GT canvas (pixels); labels are padded with 255 (ignored)
+GT_CANVAS = {"pascal_voc": 512, "pascal_context": 512, "coco_stuff": 640}
+
+
+def load_label_bank(name: str, data_root: str = "data") -> List[str]:
+    path = os.path.join(data_root, "label_category", f"{name}.txt")
+    with open(path) as f:
+        return [l.strip() for l in f if l.strip()]
+
+
+def zero_shot_classifier(model, params, classnames: Sequence[str], tokenizer,
+                         max_length: int = 25, prompt_chunk: int = 80) -> np.ndarray:
+    """(C, D) L2-normalized class embeddings (parity: :57-75)."""
+
+    @jax.jit
+    def embed(input_ids, attention_mask):
+        feats = model.apply(
+            params, input_ids, attention_mask,
+            method=lambda m, i, a: m.forward_text_feature(i, a),
+        )
+        emb = model.apply(
+            params, feats, attention_mask,
+            method=lambda m, f, a: m.forward_text_project(f, a),
+        )
+        mean = jnp.mean(emb, axis=0)
+        return mean / jnp.linalg.norm(mean)
+
+    out = []
+    for cls in classnames:
+        texts = openai_imagenet_template(cls)
+        enc = tokenizer(texts, padding="max_length", truncation=True,
+                        max_length=max_length)
+        out.append(np.asarray(embed(
+            jnp.asarray(enc["input_ids"], jnp.int32),
+            jnp.asarray(enc["attention_mask"], jnp.int32),
+        )))
+    return np.stack(out)
+
+
+def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
+                     canvas: int, patch_size: int = 16):
+    """One jitted fn: images -> (intersection, union) histograms."""
+    input_size = cfg.transforms.input_size
+    mean = tuple(cfg.transforms.normalize.mean)
+    std = tuple(cfg.transforms.normalize.std)
+    decode = make_seg_decode_fn(
+        num_classes=num_classes,
+        image_size=input_size,
+        patch_size=patch_size,
+        top_cls_num=top_cls_num,
+        candidate_classes=5,
+        bilateral_stride=cfg.get("seg_eval", {}).get("bilateral_stride", 4),
+    )
+
+    @jax.jit
+    def forward(params, images_u8, text_bank, labels_padded, gt_h, gt_w):
+        images = normalize_images(images_u8, mean, std)
+        tokens = model.apply(
+            params, images, method=lambda m, im: m.forward_image_tokens(im)
+        )
+        patches = tokens[:, 1:]
+        pooled = model.apply(
+            params, patches, method=lambda m, t: m.forward_image_project(t)
+        )
+        dense = model.apply(
+            params, patches, method=lambda m, t: m.project_image_tokens(t)
+        )
+        dense = l2_normalize(dense.astype(jnp.float32))
+        pooled = pooled.astype(jnp.float32)
+
+        pred, _ = decode(dense, pooled, jnp.asarray(text_bank), images_u8)
+
+        # per-image: nearest resize to GT size inside the padded canvas,
+        # then confusion accumulation (parity: :161-177)
+        def one(pred_i, label_i, h, w):
+            resized = resize_nearest_to_padded(pred_i, h, w, canvas, canvas,
+                                               fill=0)
+            return intersect_and_union(resized, label_i, num_classes, 255)
+
+        inter, union, _, _ = jax.vmap(one)(pred, labels_padded, gt_h, gt_w)
+        return jnp.sum(inter, axis=0), jnp.sum(union, axis=0)
+
+    return forward
+
+
+def evaluate_benchmark(loader, model, params, cfg, tokenizer,
+                       seg_categories: Sequence[str], top_cls_num: int,
+                       dataset_name: str) -> Tuple[np.ndarray, float]:
+    """Full dataset mIoU (parity: :78-181). Returns (per-class IoU, mIoU)."""
+    num_classes = len(seg_categories)
+    canvas = GT_CANVAS.get(dataset_name, 640)
+    logger.info(f"Building zero-shot classifier for {num_classes} classes")
+    text_bank = zero_shot_classifier(model, params, seg_categories, tokenizer,
+                                     max_length=cfg.model.max_length)
+
+    from simseg_tpu.models.vit import VIT_CONFIGS
+
+    patch_size = VIT_CONFIGS[model.image_tag]["patch_size"]
+    forward = make_seg_forward(model, cfg, num_classes, top_cls_num, canvas,
+                               patch_size=patch_size)
+
+    total_i = np.zeros((num_classes,), np.float64)
+    total_u = np.zeros((num_classes,), np.float64)
+    count = 0
+    for batch in loader:
+        images = batch["image"]  # uint8 (B, S, S, 3)
+        labels = batch["mask_label"]  # (B, H, W) variable size (B=1 typical)
+        b = images.shape[0]
+        gt_h = np.asarray([l.shape[-2] for l in labels] if labels.ndim == 1
+                          else [labels.shape[1]] * b, np.int32)
+        gt_w = np.asarray([l.shape[-1] for l in labels] if labels.ndim == 1
+                          else [labels.shape[2]] * b, np.int32)
+        padded = np.full((b, canvas, canvas), 255, np.int32)
+        if labels.ndim == 1:  # ragged object array
+            for i, l in enumerate(labels):
+                padded[i, :l.shape[0], :l.shape[1]] = l
+        else:
+            padded[:, :labels.shape[1], :labels.shape[2]] = labels
+        inter, union = forward(
+            params, jnp.asarray(images), text_bank, jnp.asarray(padded),
+            jnp.asarray(gt_h), jnp.asarray(gt_w),
+        )
+        total_i += np.asarray(inter, np.float64)
+        total_u += np.asarray(union, np.float64)
+        count += b
+
+    iou, miou = miou_from_totals(total_i, total_u)
+    print(f"---------------- {count} samples evaluated. ----------------")
+    logger.emph(f"multi class iou: {np.round(iou, 4)}")
+    logger.emph(f"final mean iou: {miou:.4f}")
+    return iou, miou

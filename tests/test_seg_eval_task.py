@@ -1,0 +1,101 @@
+"""End-to-end seg evaluation task on a synthetic VOC-layout fixture."""
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from simseg_tpu.config import new_base_cfg, update_cfg
+from simseg_tpu.data.datasets import build_seg_valid_loader
+from simseg_tpu.data.tokenizer import WordPieceTokenizer, make_test_vocab
+from simseg_tpu.tasks.clip.config import task_cfg_init_fn
+from simseg_tpu.tasks.seg_eval import (
+    evaluate_benchmark,
+    load_label_bank,
+    zero_shot_classifier,
+)
+from tests.test_models import tiny_clip
+
+
+@pytest.fixture
+def voc_fixture(tmp_path):
+    root = tmp_path / "VOCdevkit" / "VOC2012"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(2):
+        n = f"2007_{i:06d}"
+        names.append(n)
+        Image.fromarray(rng.integers(0, 255, (45, 55, 3), np.uint8)).save(
+            root / "JPEGImages" / f"{n}.jpg"
+        )
+        label = rng.integers(0, 4, (45, 55)).astype(np.uint8)
+        label[0, :5] = 255  # ignore region
+        Image.fromarray(label).save(root / "SegmentationClass" / f"{n}.png")
+    (root / "ImageSets" / "Segmentation" / "val.txt").write_text("\n".join(names))
+
+    cfg = update_cfg(task_cfg_init_fn, None, argv=[
+        f"data.data_path={tmp_path}/",
+        "data.batch_size_val=1",
+        "data.num_workers=1",
+        "model.max_length=12",
+        "transforms.input_size=32",
+        "transforms.resize.size=32",
+        "transforms.valid_transforms=[resize]",
+    ], target=new_base_cfg())
+    return cfg, tmp_path
+
+
+def test_zero_shot_classifier_shapes():
+    tok = WordPieceTokenizer(make_test_vocab(
+        ["a", "photo", "of", "the", "dog", "cat", "background"]
+    ))
+    model = tiny_clip()
+    import jax.numpy as jnp
+
+    dummy = {
+        "image": jnp.zeros((1, 32, 32, 3)),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), dummy)
+    bank = zero_shot_classifier(model, params, ["dog", "cat"], tok, max_length=12)
+    assert bank.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(bank, axis=1), 1.0, rtol=1e-5)
+
+
+def test_evaluate_benchmark_runs(voc_fixture):
+    cfg, tmp_path = voc_fixture
+    tok = WordPieceTokenizer(make_test_vocab(
+        ["a", "photo", "of", "the", "background", "dog", "cat", "bird"]
+    ))
+    model = tiny_clip()
+    import jax.numpy as jnp
+
+    dummy = {
+        "image": jnp.zeros((1, 32, 32, 3)),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), dummy)
+    loader = build_seg_valid_loader(cfg, "pascal_voc")
+    iou, miou = evaluate_benchmark(
+        loader, model, params, cfg,
+        tok, ["background", "dog", "cat", "bird"], top_cls_num=3,
+        dataset_name="pascal_voc",
+    )
+    assert iou.shape == (4,)
+    # random model: mIoU is defined (not nan) and in [0, 1]
+    assert 0.0 <= miou <= 1.0
+
+
+def test_label_banks_present():
+    for name, expect in [("pascal_voc", 21), ("pascal_context", 60),
+                         ("coco_stuff", 81)]:
+        bank = load_label_bank(name, data_root="data")
+        assert bank[0] == "background"
+        # reference label files: VOC 21 (bg+20), context 60, coco 81 per
+        # SURVEY §2.7 (file line counts differ by trailing newline handling)
+        assert len(bank) in (expect, expect - 1), (name, len(bank))
