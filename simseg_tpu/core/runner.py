@@ -2,11 +2,12 @@
 
 Parity: reference ``simseg/core/runners/base_runner.py:20-86`` (hook
 registry + call fan-out), ``epoch_runner.py:15-178`` (epoch/step loops,
-steps math, step-interval validation, mid-epoch resume) and
-``tasks/clip/clip_runner.py:19-299`` (hook wiring, the three train modes,
-batch_processor). The mutable-model/optimizer plumbing is replaced by a
-functional TrainState threaded through a pjit-compiled step; hooks observe
-the same lifecycle points on the host.
+steps math, step-interval validation, mid-epoch resume),
+``tasks/clip/clip_runner.py:19-299`` (CLIP hook wiring, the three train
+modes, batch_processor) and ``tasks/linear_prob/linear_runner.py:20-200``.
+The mutable-model/optimizer plumbing is replaced by a functional TrainState
+threaded through a pjit-compiled step; hooks observe the same lifecycle
+points on the host.
 """
 
 from __future__ import annotations
@@ -54,8 +55,8 @@ class BaseRunner:
             getattr(hook, fn_name)(self)
 
 
-class CLIPRunner(BaseRunner):
-    """Contrastive pretraining runner (parity: clip_runner.py)."""
+class EpochRunner(BaseRunner):
+    """Epoch/step loops with hook callbacks (parity: epoch_runner.py)."""
 
     def __init__(
         self,
@@ -71,7 +72,7 @@ class CLIPRunner(BaseRunner):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.train_loaders: Sequence = dataloaders.get("train") or []
         self.val_loaders: Sequence = dataloaders.get("val") or []
-        self.train_type = cfg.data.train_type
+        self.train_type = cfg.data.get("train_type", "shuffle")
 
         self.epoch = 0
         self.step = 0
@@ -85,76 +86,63 @@ class CLIPRunner(BaseRunner):
         self.train_steps = (
             cfg.data.train_steps if cfg.data.train_steps > 0 else loader_steps
         )
-        self.total_steps = self.train_steps * self.max_epochs
+        self.total_steps = max(self.train_steps * self.max_epochs, 1)
 
+        self._rng = rng or jax.random.key(cfg.seed or 0)
         if params is None:
-            params = self._init_params(rng or jax.random.key(cfg.seed or 0))
+            params = self._init_params(self._rng)
         tx, set_lr = build_optimizer(cfg, params)
         self.tx = tx
+        self._set_lr = set_lr
         self.train_state = TrainState.create(params, tx)
         self.lr_schedule = build_schedule(cfg, self.total_steps)
 
-        smoothing = cfg.loss.get("smoothing", 0.0)
-        group_size = cfg.loss.get("group_size", -1)
-        if cfg.runner.name == "clip_bsgs":
-            num_micro = max(1, cfg.data.batch_size // cfg.data.batch_size_train)
-            self._step_fn = make_bsgs_train_step(
-                model, tx, set_lr, num_micro=num_micro, mesh=self.mesh,
-                smoothing=smoothing,
-            )
-        else:
-            self._step_fn = make_train_step(
-                model, tx, set_lr, mesh=self.mesh, smoothing=smoothing,
-                group_size=(group_size if group_size and group_size > 0 else -1),
-            )
-        self._eval_fn = make_eval_step(model, self.mesh)
-        self._rng = rng or jax.random.key(cfg.seed or 0)
         self._norm_mean = tuple(cfg.transforms.normalize.mean)
         self._norm_std = tuple(cfg.transforms.normalize.std)
         self.outputs: Dict[str, Any] = {}
 
+        self.build_step_fns()
         self.init_hook()
         self.call_hook("init_runner")
 
-    # -- setup ----------------------------------------------------------------
+    # -- subclass API ------------------------------------------------------------
     def _init_params(self, rng):
-        size = self.cfg.transforms.input_size
-        dummy = {
-            "image": np.zeros((1, size, size, 3), np.float32),
-            "input_ids": np.zeros((1, self.cfg.model.max_length), np.int32),
-            "attention_mask": np.ones((1, self.cfg.model.max_length), np.int32),
-        }
-        return self.model.init(rng, dummy)
+        raise NotImplementedError
+
+    def build_step_fns(self) -> None:
+        raise NotImplementedError
+
+    def batch_processor(self, batch) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def val_step(self, batch) -> None:
+        raise NotImplementedError
 
     def init_hook(self) -> None:
-        """Default hook wiring (parity: clip_runner.py:44-63). Tasks may
-        override/extend before run()."""
-        from simseg_tpu.core.train_hooks import (
-            CheckpointHook,
-            LogHook,
-            RetrievalEvalHook,
-            WandbHook,
-        )
+        from simseg_tpu.core.train_hooks import CheckpointHook, LogHook, WandbHook
 
         self.register_hook(CheckpointHook(), Priority.LOW)
         self.register_hook(LogHook(), Priority.VERY_LOW)
-        if self.val_loaders:
-            self.register_hook(RetrievalEvalHook(), Priority.VERY_LOW)
         if self.cfg.get("wandb", {}).get("enable", False):
             self.register_hook(WandbHook(), Priority.LOWEST)
 
-    # -- data -------------------------------------------------------------------
+    # -- shared plumbing ------------------------------------------------------------
     def _prepare_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         device_batch = {
             k: v for k, v in batch.items()
-            if k in ("image", "input_ids", "attention_mask", "ignore_mask")
+            if k in ("image", "input_ids", "attention_mask", "ignore_mask", "label")
         }
         sharded = shard_batch(device_batch, self.mesh)
-        if sharded["image"].dtype == np.uint8 or str(sharded["image"].dtype) == "uint8":
+        if str(sharded["image"].dtype) == "uint8":
             sharded["image"] = normalize_images(
                 sharded["image"], self._norm_mean, self._norm_std
             )
         return sharded
+
+    def _step_rng(self) -> Optional[jax.Array]:
+        if self.cfg.runner.get("stable_random", "none") != "none":
+            return jax.random.fold_in(self._rng, self.step)
+        return None
 
     def _train_batch_iter(self):
         for loader in self.train_loaders:
@@ -168,7 +156,7 @@ class CLIPRunner(BaseRunner):
             return debias_batches(self.train_loaders, seed=self.epoch)
         raise NotImplementedError(self.train_type)
 
-    # -- loops ----------------------------------------------------------------
+    # -- loops -------------------------------------------------------------------
     def run(self) -> None:
         self.call_hook("before_run")
         while self.epoch < self.max_epochs:
@@ -206,34 +194,145 @@ class CLIPRunner(BaseRunner):
         self.inner_step = 0
         self.call_hook("_after_train_epoch")
 
-    def batch_processor(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        """One train step (parity: clip_runner.py:216-251). Returns device
-        metrics — hooks materialize lazily at log cadence."""
-        device_batch = self._prepare_batch(batch)
-        lr = self.lr_schedule(self.step)
-        step_rng = None
-        if self.cfg.runner.stable_random != "none":
-            step_rng = jax.random.fold_in(self._rng, self.step)
-        self.train_state, metrics = self._step_fn(
-            self.train_state, device_batch, step_rng, lr
-        )
-        self.state.log_metrics.add_counter(
-            "samples", batch["image"].shape[0]
-        )
-        return metrics
-
     def val(self, loader, loader_idx: int = 0) -> None:
         self.state.val_loader_idx = loader_idx
         self.call_hook("_before_val_epoch")
         for batch in loader:
             self.call_hook("_before_val_step")
-            device_batch = self._prepare_batch(batch)
-            img, txt = self._eval_fn(self.train_state.params, device_batch)
-            self.outputs = {
-                "image_emb": img,
-                "text_emb": txt,
-                "image_id": batch.get("image_id"),
-                "caption_id": batch.get("caption_id"),
-            }
+            self.val_step(batch)
             self.call_hook("_after_val_step")
         self.call_hook("_after_val_epoch")
+
+
+class CLIPRunner(EpochRunner):
+    """Contrastive pretraining runner (parity: clip_runner.py,
+    clip_bsgs_runner.py via cfg.runner.name='clip_bsgs')."""
+
+    def _init_params(self, rng):
+        size = self.cfg.transforms.input_size
+        dummy = {
+            "image": np.zeros((1, size, size, 3), np.float32),
+            "input_ids": np.zeros((1, self.cfg.model.max_length), np.int32),
+            "attention_mask": np.ones((1, self.cfg.model.max_length), np.int32),
+        }
+        return self.model.init(rng, dummy)
+
+    def build_step_fns(self) -> None:
+        cfg = self.cfg
+        smoothing = cfg.loss.get("smoothing", 0.0)
+        group_size = cfg.loss.get("group_size", -1)
+        if cfg.runner.name == "clip_bsgs":
+            num_micro = max(1, cfg.data.batch_size // cfg.data.batch_size_train)
+            self._step_fn = make_bsgs_train_step(
+                self.model, self.tx, self._set_lr, num_micro=num_micro,
+                mesh=self.mesh, smoothing=smoothing,
+            )
+        else:
+            self._step_fn = make_train_step(
+                self.model, self.tx, self._set_lr, mesh=self.mesh,
+                smoothing=smoothing,
+                group_size=(group_size if group_size and group_size > 0 else -1),
+            )
+        self._eval_fn = make_eval_step(self.model, self.mesh)
+
+    def init_hook(self) -> None:
+        """parity: clip_runner.py:44-63 hook wiring."""
+        super().init_hook()
+        if self.val_loaders:
+            from simseg_tpu.core.train_hooks import RetrievalEvalHook
+
+            self.register_hook(RetrievalEvalHook(), Priority.VERY_LOW)
+
+    def batch_processor(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """One train step (parity: clip_runner.py:216-251). Returns device
+        metrics — hooks materialize lazily at log cadence."""
+        device_batch = self._prepare_batch(batch)
+        lr = self.lr_schedule(self.step)
+        self.train_state, metrics = self._step_fn(
+            self.train_state, device_batch, self._step_rng(), lr
+        )
+        self.state.log_metrics.add_counter("samples", batch["image"].shape[0])
+        return metrics
+
+    def val_step(self, batch) -> None:
+        device_batch = self._prepare_batch(batch)
+        img, txt = self._eval_fn(self.train_state.params, device_batch)
+        self.outputs = {
+            "image_emb": img,
+            "text_emb": txt,
+            "image_id": batch.get("image_id"),
+            "caption_id": batch.get("caption_id"),
+        }
+
+
+class LinearProbRunner(EpochRunner):
+    """ImageNet linear probing (parity: linear_runner.py:20-200)."""
+
+    def _init_params(self, rng):
+        size = self.cfg.transforms.input_size
+        dummy = {
+            "image": np.zeros((1, size, size, 3), np.float32),
+            "label": np.zeros((1,), np.int64),
+        }
+        return self.model.init(rng, dummy)
+
+    def build_step_fns(self) -> None:
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from simseg_tpu.models.linear_prob import linear_prob_loss_fn
+
+        smoothing = self.cfg.loss.get("smoothing", 0.0)
+        model, tx, set_lr = self.model, self.tx, self._set_lr
+
+        def step_fn(state, batch, rng, lr):
+            (_, metrics), grads = jax.value_and_grad(
+                lambda p: linear_prob_loss_fn(model, p, batch, rng, smoothing),
+                has_aux=True,
+            )(state.params)
+            opt_state = set_lr(state.opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(metrics)
+            metrics["lr"] = lr
+            return (
+                state.replace(params=params, opt_state=opt_state,
+                              step=state.step + 1),
+                metrics,
+            )
+
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P(self.mesh.axis_names))
+        self._step_fn = jax.jit(
+            step_fn, in_shardings=(repl, data, repl, repl),
+            out_shardings=(repl, repl),
+        )
+
+        def eval_fn(params, batch):
+            logits = model.apply(params, batch, deterministic=True)
+            return logits
+
+        self._eval_fn = jax.jit(
+            eval_fn, in_shardings=(repl, data), out_shardings=data
+        )
+
+    def init_hook(self) -> None:
+        super().init_hook()
+        if self.val_loaders:
+            from simseg_tpu.core.train_hooks import LinearEvalHook
+
+            self.register_hook(LinearEvalHook(), Priority.VERY_LOW)
+
+    def batch_processor(self, batch) -> Dict[str, Any]:
+        device_batch = self._prepare_batch(batch)
+        lr = self.lr_schedule(self.step)
+        self.train_state, metrics = self._step_fn(
+            self.train_state, device_batch, self._step_rng(), lr
+        )
+        self.state.log_metrics.add_counter("samples", batch["image"].shape[0])
+        return metrics
+
+    def val_step(self, batch) -> None:
+        device_batch = self._prepare_batch(batch)
+        logits = self._eval_fn(self.train_state.params, device_batch)
+        self.outputs = {"logits": logits, "label": batch["label"]}

@@ -174,6 +174,27 @@ class RetrievalEvalHook(Hook):
         logger.emph(f"[retrieval val #{runner.state.get('val_loader_idx', 0)}] {pretty}")
 
 
+class LinearEvalHook(Hook):
+    """Gather predictions + labels during validation; top-1/5 accuracy at
+    epoch end (parity: tasks/linear_prob/hooks/eval.py:9-54)."""
+
+    def before_val_epoch(self, runner) -> None:
+        self._logits, self._labels = [], []
+
+    def after_val_step(self, runner) -> None:
+        self._logits.append(np.asarray(jax.device_get(runner.outputs["logits"])))
+        self._labels.append(np.asarray(runner.outputs["label"]))
+
+    def after_val_epoch(self, runner) -> None:
+        logits = np.concatenate(self._logits)
+        labels = np.concatenate(self._labels)
+        top5 = np.argsort(-logits, axis=1)[:, :5]
+        acc1 = float(np.mean(top5[:, 0] == labels))
+        acc5 = float(np.mean(np.any(top5 == labels[:, None], axis=1)))
+        runner.state.linear_eval = {"acc1": acc1, "acc5": acc5}
+        logger.emph(f"[linear eval] top-1: {acc1:.4f} top-5: {acc5:.4f}")
+
+
 class WandbHook(Hook):
     def before_run(self, runner) -> None:
         try:
