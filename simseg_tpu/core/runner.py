@@ -119,10 +119,17 @@ class EpochRunner(BaseRunner):
         raise NotImplementedError
 
     def init_hook(self) -> None:
-        from simseg_tpu.core.train_hooks import CheckpointHook, LogHook, WandbHook
+        from simseg_tpu.core.train_hooks import (
+            CheckpointHook,
+            LogHook,
+            ProfileHook,
+            WandbHook,
+        )
 
         self.register_hook(CheckpointHook(), Priority.LOW)
         self.register_hook(LogHook(), Priority.VERY_LOW)
+        if self.cfg.get("profile"):
+            self.register_hook(ProfileHook(), Priority.HIGH)
         if self.cfg.get("wandb", {}).get("enable", False):
             self.register_hook(WandbHook(), Priority.LOWEST)
 

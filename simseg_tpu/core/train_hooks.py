@@ -14,6 +14,7 @@ Parity:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, List
 
@@ -172,6 +173,38 @@ class RetrievalEvalHook(Hook):
         runner.state.retrieval_summary = summary
         pretty = " ".join(f"{k}: {v:.4f}" for k, v in summary.items())
         logger.emph(f"[retrieval val #{runner.state.get('val_loader_idx', 0)}] {pretty}")
+
+
+class ProfileHook(Hook):
+    """Capture a jax.profiler trace over a step window (SURVEY.md §5: the
+    reference only wall-clocks steps; on TPU a real trace is nearly free).
+    Enable with cfg.profile = {'start_step': N, 'num_steps': K, 'dir': ...}.
+    View with TensorBoard or xprof."""
+
+    def __init__(self) -> None:
+        self._active = False
+
+    def before_train_step(self, runner) -> None:
+        prof = runner.cfg.get("profile", {}) or {}
+        if not prof or self._active:
+            return
+        if runner.step == prof.get("start_step", 10):
+            import jax
+
+            trace_dir = prof.get("dir", os.path.join(runner.cfg.ckpt.dir, "trace"))
+            jax.profiler.start_trace(trace_dir)
+            self._active = True
+            self._stop_at = runner.step + prof.get("num_steps", 5)
+            logger.emph(f"Profiler trace started -> {trace_dir}")
+
+    def after_train_step(self, runner) -> None:
+        if self._active and runner.step + 1 >= self._stop_at:
+            import jax
+
+            jax.block_until_ready(runner.outputs.get("loss"))
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.emph("Profiler trace stopped")
 
 
 class LinearEvalHook(Hook):

@@ -1,0 +1,77 @@
+"""Collective helpers over the device mesh.
+
+Parity: reference ``simseg/utils/dist.py`` — NCCL wrapper functions
+(all_gather :43-62, differentiable GatherLayer :323-354, all_reduce :77-102,
+broadcast :105-139, barrier :142-149, pickled object transport :165-320).
+
+TPU-native mapping: in-step collectives are XLA ops inside jit —
+``all_gather``/``psum``/``pmean`` below are thin wrappers usable under
+``shard_map`` with a named mesh axis; gradients flow through them natively,
+which is the reference's ``gather_backward=True`` semantics for free. Most
+code never calls these directly: under pjit the sharding annotations make
+XLA insert the same collectives automatically (see ops/losses.py). Host-side
+object transport uses ``jax.experimental.multihost_utils``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simseg_tpu.parallel.mesh import DATA_AXIS
+
+
+def all_gather(x: jnp.ndarray, axis_name: str = DATA_AXIS) -> jnp.ndarray:
+    """Gather shards along a mesh axis into the leading dim; differentiable
+    (parity: GatherLayer — all_gather fwd, reduce-scatter bwd is what XLA
+    derives automatically)."""
+    return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+
+
+def all_reduce_sum(x: jnp.ndarray, axis_name: str = DATA_AXIS) -> jnp.ndarray:
+    return jax.lax.psum(x, axis_name)
+
+
+def all_reduce_mean(x: jnp.ndarray, axis_name: str = DATA_AXIS) -> jnp.ndarray:
+    return jax.lax.pmean(x, axis_name)
+
+
+def axis_index(axis_name: str = DATA_AXIS) -> jnp.ndarray:
+    """This shard's position along the axis (the reference's group rank)."""
+    return jax.lax.axis_index(axis_name)
+
+
+# -- host-side (outside jit) --------------------------------------------------
+
+def broadcast_object(obj: Any, is_source: Optional[bool] = None) -> Any:
+    """Broadcast a python object from process 0 to all processes
+    (parity: dist.py broadcast_object_list; multihost_utils on TPU)."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(
+        obj, is_source=is_source
+    )
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-process sync point (parity: dist.py:142-149)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def process_allgather(x: np.ndarray) -> np.ndarray:
+    """Gather per-process host arrays to all processes (eval embedding
+    collection on pods; parity: dist.py all_gather used by eval hooks)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x))
