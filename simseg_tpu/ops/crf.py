@@ -109,14 +109,23 @@ def _bilateral_kernel_matrix(
 # mean-field inference
 # --------------------------------------------------------------------------
 
+def _resolve_bilateral_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    # the streaming Pallas kernel targets real TPUs; everywhere else use the
+    # XLA kernel-matrix path
+    return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "num_iters", "bilateral_stride", "gaussian_sxy", "gaussian_compat",
         "bilateral_sxy", "bilateral_srgb", "bilateral_compat",
+        "bilateral_impl",
     ),
 )
-def dense_crf_binary(
+def dense_crf_batched(
     probs: jnp.ndarray,
     rgb: jnp.ndarray,
     num_iters: int = 3,
@@ -126,64 +135,105 @@ def dense_crf_binary(
     bilateral_srgb: float = 13.0,
     bilateral_compat: float = 10.0,
     bilateral_stride: int = 4,
+    bilateral_impl: str = "auto",
 ) -> jnp.ndarray:
-    """Refine K binary probability maps with one shared image.
+    """Refine K binary probability maps per image over a batch.
 
-    probs: (K, H, W) foreground probabilities in [0, 1].
-    rgb:   (H, W, 3) image in 0..255 (any float/int dtype).
-    Returns (K, H, W) int32 argmax masks (1 = foreground).
+    probs: (B, K, H, W) foreground probabilities in [0, 1].
+    rgb:   (B, H, W, 3) images in 0..255 (any float/int dtype).
+    Returns (B, K, H, W) int32 argmax masks (1 = foreground).
+
+    The batch dim is explicit (not vmap) so the streaming Pallas kernel gets
+    a real batch grid dimension.
     """
-    kk, h, w = probs.shape
+    bb, kk, h, w = probs.shape
     s = bilateral_stride
     assert h % s == 0 and w % s == 0, (h, w, s)
 
     p = jnp.clip(probs.astype(jnp.float32), 0.0, 1.0)
-    # unary: (K, 2, H, W); label 0 = background
-    u = -jnp.log(jnp.stack([1.0 - p, p], axis=1) + 1e-8)
+    # unary: (B, K, 2, H, W); label 0 = background
+    u = -jnp.log(jnp.stack([1.0 - p, p], axis=2) + 1e-8)
 
     taps = jnp.asarray(_gaussian_taps(gaussian_sxy))
 
     # Gaussian normalization: D = blur(1); symmetric norm 1/sqrt(D)
     ones = jnp.ones((h, w), jnp.float32)
-    g_norm = jax.lax.rsqrt(_sep_blur(ones, taps) + 1e-20)
+    g_norm = jax.lax.rsqrt(_sep_blur(ones, taps) + 1e-20)  # (H, W)
 
-    # bilateral kernel at coarse resolution (shared across K maps)
+    # bilateral kernel features at coarse resolution (per image, shared
+    # across the K candidate maps)
     rgb_small = _box_downsample(
-        jnp.moveaxis(rgb.astype(jnp.float32), -1, 0), s
-    )
-    rgb_small = jnp.moveaxis(rgb_small, 0, -1)  # (h/s, w/s, 3)
-    kmat = _bilateral_kernel_matrix(rgb_small, bilateral_sxy, bilateral_srgb, s)
-    b_norm_small = jax.lax.rsqrt(jnp.sum(kmat, axis=1) + 1e-20)  # (n_small,)
-
+        jnp.moveaxis(rgb.astype(jnp.float32), -1, 1), s
+    )  # (B, 3, h/s, w/s)
+    rgb_small = jnp.moveaxis(rgb_small, 1, -1)  # (B, h/s, w/s, 3)
     n_small = (h // s) * (w // s)
+    impl = _resolve_bilateral_impl(bilateral_impl)
+
+    if impl == "pallas":
+        from simseg_tpu.ops.crf_pallas import (
+            bilateral_features,
+            bilateral_matvec_batched,
+        )
+
+        feat = jax.vmap(
+            lambda r: bilateral_features(r, bilateral_sxy, bilateral_srgb, s)
+        )(rgb_small)  # (B, n_small, 5)
+        degree = bilateral_matvec_batched(
+            feat, jnp.ones((bb, n_small, 1), jnp.float32)
+        )
+        b_norm = jax.lax.rsqrt(degree[..., 0] + 1e-20)  # (B, n_small)
+
+        def _bilateral_apply(q_small: jnp.ndarray) -> jnp.ndarray:
+            # q_small: (B, C, n_small) -> (B, C, n_small)
+            qn = (q_small * b_norm[:, None, :]).transpose(0, 2, 1)
+            m = bilateral_matvec_batched(feat, qn).transpose(0, 2, 1)
+            return m * b_norm[:, None, :]
+    else:
+        kmat = jax.vmap(
+            lambda r: _bilateral_kernel_matrix(r, bilateral_sxy,
+                                               bilateral_srgb, s)
+        )(rgb_small)  # (B, n_small, n_small)
+        b_norm = jax.lax.rsqrt(jnp.sum(kmat, axis=2) + 1e-20)  # (B, n_small)
+
+        def _bilateral_apply(q_small: jnp.ndarray) -> jnp.ndarray:
+            m = jnp.einsum(
+                "bcn,bmn->bcm", q_small * b_norm[:, None, :], kmat,
+                preferred_element_type=jnp.float32,
+            )
+            return m * b_norm[:, None, :]
 
     def bilateral_message(q: jnp.ndarray) -> jnp.ndarray:
-        """q: (K, 2, H, W) -> K̂_bilateral q, via splat/matmul/slice.
+        """q: (B, K, 2, H, W) -> normalized bilateral message, via
+        mean-splat -> (streaming kernel | kernel matrix) -> nearest slice.
 
-        Normalization note: the fine-grid degree is D_i ≈ s^2 (K 1)_c, so the
+        Normalization note: the fine-grid degree is D_i = s^2 (K 1)_c, so the
         two D^{-1/2} factors contribute 1/s^2, exactly cancelling the s^2 of
         a sum-splat — i.e. mean-splat with coarse-degree normalization is the
         correct discretization (verified against the exact stride-1 kernel in
         tests)."""
-        q_small = _box_downsample(q.reshape(kk * 2, h, w), s)  # mean-splat
-        q_small = q_small.reshape(kk * 2, n_small)
-        q_small = q_small * b_norm_small[None, :]
-        m = jnp.dot(q_small, kmat.T, preferred_element_type=jnp.float32)
-        m = m * b_norm_small[None, :]
-        m = m.reshape(kk, 2, h // s, w // s)
+        q_small = _box_downsample(q.reshape(bb, kk * 2, h, w), s)
+        q_small = q_small.reshape(bb, kk * 2, n_small)
+        m = _bilateral_apply(q_small)
+        m = m.reshape(bb, kk, 2, h // s, w // s)
         # slice: nearest upsample back to fine grid
         m = jnp.repeat(jnp.repeat(m, s, axis=-2), s, axis=-1)
         return m
 
     def gaussian_message(q: jnp.ndarray) -> jnp.ndarray:
-        qn = q * g_norm[None, None]
+        qn = q * g_norm
         m = _sep_blur(qn, taps)
-        return m * g_norm[None, None]
+        return m * g_norm
 
     def body(_, q):
         m = gaussian_compat * gaussian_message(q) + bilateral_compat * bilateral_message(q)
-        return jax.nn.softmax(-u + m, axis=1)
+        return jax.nn.softmax(-u + m, axis=2)
 
-    q0 = jax.nn.softmax(-u, axis=1)
+    q0 = jax.nn.softmax(-u, axis=2)
     q = jax.lax.fori_loop(0, num_iters, body, q0)
-    return jnp.argmax(q, axis=1).astype(jnp.int32)
+    return jnp.argmax(q, axis=2).astype(jnp.int32)
+
+
+def dense_crf_binary(probs: jnp.ndarray, rgb: jnp.ndarray, **kwargs) -> jnp.ndarray:
+    """Single-image wrapper: probs (K, H, W), rgb (H, W, 3) ->
+    (K, H, W) int32 masks."""
+    return dense_crf_batched(probs[None], rgb[None], **kwargs)[0]

@@ -26,7 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from simseg_tpu.ops.crf import dense_crf_binary
+from simseg_tpu.ops.crf import dense_crf_batched
 from simseg_tpu.ops.morphology import closing, nearest_upsample
 
 
@@ -39,6 +39,7 @@ def make_seg_decode_fn(
     crf_iters: int = 3,
     bilateral_stride: int = 4,
     morphology_ksize: int = 7,
+    crf_backend: str = "auto",
 ):
     """Build the jitted decode fn.
 
@@ -89,11 +90,11 @@ def make_seg_decode_fn(
         probs = (attn - amin) / jnp.maximum(amax - amin, 1e-12)
 
         # 4. CRF refinement, one shared bilateral kernel per image (:153)
-        masks = jax.vmap(
-            lambda p, im: dense_crf_binary(
-                p, im, num_iters=crf_iters, bilateral_stride=bilateral_stride
-            )
-        )(probs, raw_images)                                  # (B, K, H, W)
+        masks = dense_crf_batched(
+            probs, raw_images, num_iters=crf_iters,
+            bilateral_stride=bilateral_stride,
+            bilateral_impl=crf_backend,
+        )                                                      # (B, K, H, W)
 
         # 5. morphology + score weighting + argmax (:156-177)
         masks = closing(masks.astype(jnp.float32), morphology_ksize)
