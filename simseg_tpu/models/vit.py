@@ -128,6 +128,14 @@ class VisionTransformer(nn.Module):
             (1, 1 + self.num_patches, self.embed_dim),
             jnp.float32,
         )
+        n_tokens = x.shape[1]
+        if n_tokens != self.num_patches:
+            # variable input resolution (multi-scale inference): resample the
+            # position grid bicubically (parity: utils/interpolate_pe.py,
+            # applied at trace time — shapes are static per call)
+            from simseg_tpu.ops.interpolate_pe import interpolate_pos_embed
+
+            pos_embed = interpolate_pos_embed(pos_embed, n_tokens)
         x = jnp.concatenate([jnp.tile(cls_token.astype(self.dtype), (b, 1, 1)), x], axis=1)
         x = x + pos_embed.astype(self.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -119,6 +119,14 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.model.pool.name = "identity"  # avg | loda | identity
     cfg.model.pool.loda = AttrDict(image_k=5, text_k=5)
 
+    # ----- zero-shot seg eval knobs (TPU pipeline extras) -----
+    cfg.seg_eval = AttrDict()
+    # multi-scale dense inference: relative input scales whose patch-token
+    # features are bilinearly fused on the base grid before decode
+    cfg.seg_eval.scales = [1.0]
+    cfg.seg_eval.bilateral_stride = 4
+    cfg.seg_eval.crf_backend = "auto"
+
     # ----- loss -----
     cfg.loss = AttrDict()
     cfg.loss.name = "NCE"

@@ -72,22 +72,31 @@ def zero_shot_classifier(model, params, classnames: Sequence[str], tokenizer,
 
 def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
                      canvas: int, patch_size: int = 16):
-    """One jitted fn: images -> (intersection, union) histograms."""
+    """One jitted fn: images -> (intersection, union) histograms.
+
+    Multi-scale dense inference (``cfg.seg_eval.scales``): the image is also
+    encoded at scaled resolutions; each scale's patch-token feature grid is
+    bilinearly resampled onto the base grid and averaged (features), and the
+    pooled embeddings are averaged, before the single decode pass. With the
+    default ``[1.0]`` this is exactly the reference's single-scale pipeline.
+    """
     input_size = cfg.transforms.input_size
     mean = tuple(cfg.transforms.normalize.mean)
     std = tuple(cfg.transforms.normalize.std)
+    seg_cfg = cfg.get("seg_eval", {}) or {}
+    scales = tuple(seg_cfg.get("scales", [1.0]))
     decode = make_seg_decode_fn(
         num_classes=num_classes,
         image_size=input_size,
         patch_size=patch_size,
         top_cls_num=top_cls_num,
         candidate_classes=5,
-        bilateral_stride=cfg.get("seg_eval", {}).get("bilateral_stride", 4),
+        bilateral_stride=seg_cfg.get("bilateral_stride", 4),
+        crf_backend=seg_cfg.get("crf_backend", "auto"),
     )
+    base_grid = input_size // patch_size
 
-    @jax.jit
-    def forward(params, images_u8, text_bank, labels_padded, gt_h, gt_w):
-        images = normalize_images(images_u8, mean, std)
+    def _tower(params, images):
         tokens = model.apply(
             params, images, method=lambda m, im: m.forward_image_tokens(im)
         )
@@ -98,8 +107,37 @@ def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
         dense = model.apply(
             params, patches, method=lambda m, t: m.project_image_tokens(t)
         )
-        dense = l2_normalize(dense.astype(jnp.float32))
-        pooled = pooled.astype(jnp.float32)
+        return dense.astype(jnp.float32), pooled.astype(jnp.float32)
+
+    @jax.jit
+    def forward(params, images_u8, text_bank, labels_padded, gt_h, gt_w):
+        images = normalize_images(images_u8, mean, std)
+        dense, pooled = _tower(params, images)
+        if len(scales) > 1 or scales[0] != 1.0:
+            b, _, d = dense.shape
+            dense_acc = dense if 1.0 in scales else jnp.zeros_like(dense)
+            pooled_acc = pooled if 1.0 in scales else jnp.zeros_like(pooled)
+            n_used = 1 if 1.0 in scales else 0
+            for scale in scales:
+                if scale == 1.0:
+                    continue
+                # snap the scaled size to the patch grid
+                size_s = max(int(round(input_size * scale / patch_size)), 1) * patch_size
+                grid_s = size_s // patch_size
+                imgs_s = jax.image.resize(
+                    images, (b, size_s, size_s, 3), method="bilinear"
+                )
+                dense_s, pooled_s = _tower(params, imgs_s)
+                grid_feats = dense_s.reshape(b, grid_s, grid_s, d)
+                grid_feats = jax.image.resize(
+                    grid_feats, (b, base_grid, base_grid, d), method="bilinear"
+                )
+                dense_acc = dense_acc + grid_feats.reshape(b, -1, d)
+                pooled_acc = pooled_acc + pooled_s
+                n_used += 1
+            dense = dense_acc / n_used
+            pooled = l2_normalize(pooled_acc / n_used)
+        dense = l2_normalize(dense)
 
         pred, _ = decode(dense, pooled, jnp.asarray(text_bank), images_u8)
 
