@@ -191,7 +191,22 @@ def _collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
     out = {}
     for k in samples[0]:
         vals = [s[k] for s in samples]
-        out[k] = np.stack(vals) if np.ndim(vals[0]) > 0 else np.asarray(vals)
+        if np.ndim(vals[0]) == 0:
+            out[k] = np.asarray(vals)
+        elif k == "mask_label" and len({v.shape for v in vals}) > 1:
+            # variable-size GT maps: pad to the batch max with the ignore
+            # index and record true sizes (the seg eval compares inside a
+            # padded canvas, so 255 pixels never score)
+            max_h = max(v.shape[0] for v in vals)
+            max_w = max(v.shape[1] for v in vals)
+            padded = np.full((len(vals), max_h, max_w), 255, vals[0].dtype)
+            for i, v in enumerate(vals):
+                padded[i, :v.shape[0], :v.shape[1]] = v
+            out[k] = padded
+            out["mask_h"] = np.asarray([v.shape[0] for v in vals], np.int32)
+            out["mask_w"] = np.asarray([v.shape[1] for v in vals], np.int32)
+        else:
+            out[k] = np.stack(vals)
     return out
 
 

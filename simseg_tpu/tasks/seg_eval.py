@@ -175,18 +175,17 @@ def evaluate_benchmark(loader, model, params, cfg, tokenizer,
     count = 0
     for batch in loader:
         images = batch["image"]  # uint8 (B, S, S, 3)
-        labels = batch["mask_label"]  # (B, H, W) variable size (B=1 typical)
+        labels = batch["mask_label"]  # (B, H, W), 255-padded if sizes varied
         b = images.shape[0]
-        gt_h = np.asarray([l.shape[-2] for l in labels] if labels.ndim == 1
-                          else [labels.shape[1]] * b, np.int32)
-        gt_w = np.asarray([l.shape[-1] for l in labels] if labels.ndim == 1
-                          else [labels.shape[2]] * b, np.int32)
+        gt_h = np.asarray(batch.get("mask_h", [labels.shape[1]] * b), np.int32)
+        gt_w = np.asarray(batch.get("mask_w", [labels.shape[2]] * b), np.int32)
+        if labels.shape[1] > canvas or labels.shape[2] > canvas:
+            raise ValueError(
+                f"GT size {labels.shape[1:]} exceeds the {canvas} canvas for "
+                f"{dataset_name}; raise GT_CANVAS"
+            )
         padded = np.full((b, canvas, canvas), 255, np.int32)
-        if labels.ndim == 1:  # ragged object array
-            for i, l in enumerate(labels):
-                padded[i, :l.shape[0], :l.shape[1]] = l
-        else:
-            padded[:, :labels.shape[1], :labels.shape[2]] = labels
+        padded[:, :labels.shape[1], :labels.shape[2]] = labels
         inter, union = forward(
             params, jnp.asarray(images), text_bank, jnp.asarray(padded),
             jnp.asarray(gt_h), jnp.asarray(gt_w),

@@ -112,6 +112,24 @@ def test_runner_auto_resume(toy_cfg):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_bsgs_runner_end_to_end(toy_cfg):
+    """cfg.runner.name=clip_bsgs drives the two-pass micro-batched step
+    through the same runner surface (parity: clip_bsgs_runner.py)."""
+    cfg, tmp_path = toy_cfg
+    cfg.set_immutable(False)
+    cfg.runner.name = "clip_bsgs"
+    cfg.data.batch_size_train = 8  # 16-batch -> 2 micro-batches
+    cfg.ckpt.dir = str(tmp_path / "out_bsgs")
+    cfg.set_immutable(True)
+    tok = WordPieceTokenizer(make_test_vocab(["a", "photo", "of", "the",
+                                              "dog", "cat", "car", "tree"]))
+    loaders = build_clip_dataloaders(cfg, tokenizer=tok)
+    runner = CLIPRunner(cfg, tiny_model(), loaders)
+    runner.run()
+    assert runner.step == 4
+    assert "rsum" in runner.state.retrieval_summary
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from simseg_tpu.engine import TrainState
     import optax

@@ -25,13 +25,14 @@ def voc_fixture(tmp_path):
     (root / "ImageSets" / "Segmentation").mkdir(parents=True)
     rng = np.random.default_rng(0)
     names = []
-    for i in range(2):
+    sizes = [(45, 55), (50, 40)]  # variable GT sizes exercise pad-collate
+    for i, (h, w) in enumerate(sizes):
         n = f"2007_{i:06d}"
         names.append(n)
-        Image.fromarray(rng.integers(0, 255, (45, 55, 3), np.uint8)).save(
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(
             root / "JPEGImages" / f"{n}.jpg"
         )
-        label = rng.integers(0, 4, (45, 55)).astype(np.uint8)
+        label = rng.integers(0, 4, (h, w)).astype(np.uint8)
         label[0, :5] = 255  # ignore region
         Image.fromarray(label).save(root / "SegmentationClass" / f"{n}.png")
     (root / "ImageSets" / "Segmentation" / "val.txt").write_text("\n".join(names))
@@ -89,6 +90,20 @@ def test_evaluate_benchmark_runs(voc_fixture):
     assert iou.shape == (4,)
     # random model: mIoU is defined (not nan) and in [0, 1]
     assert 0.0 <= miou <= 1.0
+
+    # batched eval (variable GT sizes via pad-collate) gives identical totals
+    cfg.set_immutable(False)
+    cfg.data.batch_size_val = 2
+    loader2 = build_seg_valid_loader(cfg, "pascal_voc")
+    iou2, miou2 = evaluate_benchmark(
+        loader2, model, params, cfg,
+        tok, ["background", "dog", "cat", "bird"], top_cls_num=3,
+        dataset_name="pascal_voc",
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(iou), np.nan_to_num(iou2), rtol=1e-6
+    )
+    assert miou == pytest.approx(miou2, rel=1e-6)
 
 
 def test_label_banks_present():
