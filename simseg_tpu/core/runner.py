@@ -239,6 +239,10 @@ class CLIPRunner(EpochRunner):
                 self.model, self.tx, self._set_lr, mesh=self.mesh,
                 smoothing=smoothing,
                 group_size=(group_size if group_size and group_size > 0 else -1),
+                loss_name=cfg.loss.get("name", "NCE"),
+                mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
+                triplet_margin=cfg.loss.get("triplet_loss", {}).get("margin", 0.2),
+                triplet_reduce=cfg.loss.get("triplet_loss", {}).get("reduce_mode", "max"),
             )
         self._eval_fn = make_eval_step(self.model, self.mesh)
 

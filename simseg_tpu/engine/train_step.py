@@ -22,7 +22,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from simseg_tpu.ops.losses import symmetric_info_nce
+from simseg_tpu.ops.losses import mixup_nce, symmetric_info_nce, triplet_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -43,20 +43,56 @@ def clip_loss_fn(
     rng: Optional[jax.Array],
     smoothing: float = 0.0,
     group_size: int = -1,
+    loss_name: str = "NCE",
+    mixup_alpha_param: float = 0.2,
+    triplet_margin: float = 0.2,
+    triplet_reduce: str = "max",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Forward + symmetric InfoNCE (parity: pipelines/clip.py:123-176)."""
+    """Forward + contrastive loss (parity: pipelines/clip.py:123-176
+    forward_loss, dispatching on cfg.loss.name like the LOSS registry)."""
     rngs = {"dropout": rng} if rng is not None else None
+
+    if loss_name == "MixUpNCE":
+        # single-modality (image) mixup: lam ~ Beta(a, a) per step, images
+        # mixed with the batch-reversed pairing (parity: mml_loss.py:146-197;
+        # flip over the global batch)
+        mix_rng = rng if rng is not None else jax.random.key(0)
+        lam = jax.random.beta(jax.random.fold_in(mix_rng, 1),
+                              mixup_alpha_param, mixup_alpha_param)
+        lam = jnp.maximum(lam, 1.0 - lam)
+        batch = dict(batch)
+        batch["image"] = lam * batch["image"] + (1.0 - lam) * batch["image"][::-1]
+
     img, txt, temp = model.apply(
         params, batch, deterministic=rng is None, rngs=rngs
     )
-    loss, accs = symmetric_info_nce(
-        img.astype(jnp.float32),
-        txt.astype(jnp.float32),
-        temp,
-        ignore_mask=batch.get("ignore_mask"),
-        smoothing=smoothing,
-        group_size=group_size,
-    )
+    img = img.astype(jnp.float32)
+    txt = txt.astype(jnp.float32)
+
+    if loss_name == "NCE":
+        loss, accs = symmetric_info_nce(
+            img, txt, temp,
+            ignore_mask=batch.get("ignore_mask"),
+            smoothing=smoothing,
+            group_size=group_size,
+        )
+    elif loss_name == "MixUpNCE":
+        n = img.shape[0]
+        i2t, i2t_acc = mixup_nce(img, txt, temp, lam, flip_block=n,
+                                 ignore_mask=batch.get("ignore_mask"),
+                                 smoothing=smoothing)
+        t2i, t2i_acc = mixup_nce(txt, img, temp, lam, flip_block=n,
+                                 ignore_mask=batch.get("ignore_mask"),
+                                 smoothing=smoothing)
+        loss = 0.5 * (i2t + t2i)
+        accs = {"i2t_acc": i2t_acc, "t2i_acc": t2i_acc}
+    elif loss_name == "Triplet":
+        loss, i2t_acc, t2i_acc = triplet_loss(img, txt, triplet_margin,
+                                              triplet_reduce)
+        accs = {"i2t_acc": i2t_acc, "t2i_acc": t2i_acc}
+    else:
+        raise NotImplementedError(f"loss '{loss_name}'")
+
     metrics = {"loss": loss, "temperature": temp, **accs}
     return loss, metrics
 
@@ -69,6 +105,8 @@ def make_train_step(
     smoothing: float = 0.0,
     group_size: int = -1,
     donate: bool = True,
+    loss_name: str = "NCE",
+    **loss_kwargs,
 ):
     """Build the jitted train step.
 
@@ -79,7 +117,8 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch, rng, lr):
         (_, metrics), grads = jax.value_and_grad(
-            lambda p: clip_loss_fn(model, p, batch, rng, smoothing, group_size),
+            lambda p: clip_loss_fn(model, p, batch, rng, smoothing, group_size,
+                                   loss_name=loss_name, **loss_kwargs),
             has_aux=True,
         )(state.params)
         opt_state = set_lr(state.opt_state, lr)
