@@ -57,6 +57,7 @@ class BertEncoder(nn.Module):
     type_vocab_size: int = 2
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -86,8 +87,11 @@ class BertEncoder(nn.Module):
         if attention_mask is not None:
             bias = padding_bias(attention_mask, jnp.float32)
 
+        layer_cls = BertLayer
+        if self.remat:
+            layer_cls = nn.remat(BertLayer, static_argnums=(3,))
         for i in range(self.depth):
-            x = BertLayer(
+            x = layer_cls(
                 self.num_heads, self.intermediate_dim, self.dropout, self.dtype,
                 name=f"layer_{i}",
             )(x, bias, deterministic)
@@ -107,7 +111,9 @@ BERT_CONFIGS = {
 }
 
 
-def build_bert(tag: str, dtype: jnp.dtype = jnp.float32, dropout: float = 0.0) -> BertEncoder:
+def build_bert(tag: str, dtype: jnp.dtype = jnp.float32, dropout: float = 0.0,
+               remat: bool = False) -> BertEncoder:
     if tag not in BERT_CONFIGS:
         raise KeyError(f"Unknown BERT tag '{tag}'; known: {sorted(BERT_CONFIGS)}")
-    return BertEncoder(dtype=dtype, dropout=dropout, **BERT_CONFIGS[tag])
+    return BertEncoder(dtype=dtype, dropout=dropout, remat=remat,
+                       **BERT_CONFIGS[tag])

@@ -54,11 +54,13 @@ class CLIPModel(nn.Module):
     # numerics
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
+    remat: bool = False
 
     def setup(self) -> None:
         self.image_encoder = build_vit(self.image_tag, self.img_size, self.dtype,
-                                       self.dropout)
-        self.text_encoder = build_bert(self.text_tag, self.dtype, self.dropout)
+                                       self.dropout, remat=self.remat)
+        self.text_encoder = build_bert(self.text_tag, self.dtype, self.dropout,
+                                       remat=self.remat)
         proj = {
             "simple": lambda name: SimpleProjection(self.projection_dim, self.dtype,
                                                     name=name),
@@ -192,6 +194,7 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None) -> CLIPModel:
         temperature_name=cfg.loss.temperature.name,
         temperature_init=cfg.loss.temperature.value,
         dtype=dtype,
+        remat=m.get("remat", False),
     )
 
 

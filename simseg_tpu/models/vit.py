@@ -96,6 +96,9 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # rematerialize block activations in the backward pass (trade FLOPs for
+    # HBM — enables the reference's 1024+ contrastive batches on one chip)
+    remat: bool = False
 
     @property
     def grid_size(self) -> int:
@@ -140,8 +143,13 @@ class VisionTransformer(nn.Module):
         x = x + pos_embed.astype(self.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
+        block_cls = ViTBlock
+        if self.remat:
+            import flax.linen as nn_mod
+
+            block_cls = nn_mod.remat(ViTBlock, static_argnums=(2,))
         for i in range(self.depth):
-            x = ViTBlock(
+            x = block_cls(
                 self.num_heads, self.mlp_ratio, self.dropout, self.dtype, name=f"blocks_{i}"
             )(x, deterministic)
 
@@ -162,8 +170,8 @@ VIT_CONFIGS = {
 
 
 def build_vit(tag: str, img_size: int, dtype: jnp.dtype = jnp.float32,
-              dropout: float = 0.0) -> VisionTransformer:
+              dropout: float = 0.0, remat: bool = False) -> VisionTransformer:
     if tag not in VIT_CONFIGS:
         raise KeyError(f"Unknown ViT tag '{tag}'; known: {sorted(VIT_CONFIGS)}")
     return VisionTransformer(img_size=img_size, dtype=dtype, dropout=dropout,
-                             **VIT_CONFIGS[tag])
+                             remat=remat, **VIT_CONFIGS[tag])

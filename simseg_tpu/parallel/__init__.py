@@ -2,6 +2,7 @@ from simseg_tpu.parallel.mesh import (
     DATA_AXIS,
     REPLICA_AXIS,
     data_sharding,
+    device_prefetch,
     init_distributed,
     local_batch_size,
     make_mesh,
@@ -13,6 +14,7 @@ __all__ = [
     "DATA_AXIS",
     "REPLICA_AXIS",
     "data_sharding",
+    "device_prefetch",
     "init_distributed",
     "local_batch_size",
     "make_mesh",

@@ -74,6 +74,32 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def device_prefetch(iterator, mesh: Mesh, size: int = 2):
+    """Wrap a host batch iterator so the next ``size`` batches are already
+    transferred to the mesh while the current step runs (the TPU-native
+    replacement for torch pinned-memory + non_blocking H2D copies,
+    reference clip_runner.py:65-77 input_preprocess)."""
+    import collections
+
+    queue = collections.deque()
+
+    def put(batch):
+        queue.append(shard_batch(batch, mesh))
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield queue.popleft()
+
+
 def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
     n = mesh.devices.size
     if global_batch_size % n != 0:

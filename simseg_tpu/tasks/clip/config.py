@@ -90,6 +90,7 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.model.pretrain_prefix_change_list = []
     cfg.model.max_length = 25
     cfg.model.syncbn = True  # no-op on TPU (no BN in ViT); kept for compat
+    cfg.model.remat = False  # rematerialize encoder blocks (big-batch training)
     cfg.model.interpolate_pos_embed = False
     cfg.model.freeze_cnn_bn = False
 
@@ -126,6 +127,9 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.seg_eval.scales = [1.0]
     cfg.seg_eval.bilateral_stride = 4
     cfg.seg_eval.crf_backend = "auto"
+    # sliding-window dense inference over a larger resize: windows of
+    # ``size`` px at ``stride`` px; -1 disables (whole-image forward)
+    cfg.seg_eval.window = AttrDict(size=-1, stride=-1)
 
     # ----- loss -----
     cfg.loss = AttrDict()

@@ -96,6 +96,10 @@ def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
     )
     base_grid = input_size // patch_size
 
+    win_size = int(seg_cfg.get("window", {}).get("size", -1))
+    win_stride = int(seg_cfg.get("window", {}).get("stride", -1))
+    use_window = win_size > 0 and win_size < input_size
+
     def _tower(params, images):
         tokens = model.apply(
             params, images, method=lambda m, im: m.forward_image_tokens(im)
@@ -109,10 +113,61 @@ def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
         )
         return dense.astype(jnp.float32), pooled.astype(jnp.float32)
 
+    def _sliding_tower(params, images):
+        """Sliding-window dense inference: 'win_size' crops at 'win_stride',
+        per-window patch features scatter-averaged onto the full grid
+        (static window positions -> fully unrolled under jit)."""
+        b = images.shape[0]
+        stride = win_stride if win_stride > 0 else win_size
+        starts = sorted({
+            min(y, input_size - win_size)
+            for y in range(0, input_size - win_size + stride, stride)
+        })
+        wg = win_size // patch_size  # window grid
+        d = None
+        feat_grid = counts = None
+        pooled_acc = None
+        n_windows = 0
+        for y0 in starts:
+            for x0 in starts:
+                crop = jax.lax.dynamic_slice(
+                    images, (0, y0, x0, 0), (b, win_size, win_size, 3)
+                )
+                dense_w, pooled_w = _tower(params, crop)
+                if feat_grid is None:
+                    d = dense_w.shape[-1]
+                    feat_grid = jnp.zeros((b, base_grid, base_grid, d), jnp.float32)
+                    counts = jnp.zeros((1, base_grid, base_grid, 1), jnp.float32)
+                    pooled_acc = jnp.zeros_like(pooled_w)
+                gy, gx = y0 // patch_size, x0 // patch_size
+                patch = dense_w.reshape(b, wg, wg, d)
+                feat_grid = jax.lax.dynamic_update_slice(
+                    feat_grid,
+                    jax.lax.dynamic_slice(
+                        feat_grid, (0, gy, gx, 0), (b, wg, wg, d)
+                    ) + patch,
+                    (0, gy, gx, 0),
+                )
+                ones = jnp.ones((1, wg, wg, 1), jnp.float32)
+                counts = jax.lax.dynamic_update_slice(
+                    counts,
+                    jax.lax.dynamic_slice(counts, (0, gy, gx, 0), (1, wg, wg, 1))
+                    + ones,
+                    (0, gy, gx, 0),
+                )
+                pooled_acc = pooled_acc + pooled_w
+                n_windows += 1
+        dense = (feat_grid / jnp.maximum(counts, 1.0)).reshape(b, -1, d)
+        pooled = l2_normalize(pooled_acc / n_windows)
+        return dense, pooled
+
     @jax.jit
     def forward(params, images_u8, text_bank, labels_padded, gt_h, gt_w):
         images = normalize_images(images_u8, mean, std)
-        dense, pooled = _tower(params, images)
+        if use_window:
+            dense, pooled = _sliding_tower(params, images)
+        else:
+            dense, pooled = _tower(params, images)
         if len(scales) > 1 or scales[0] != 1.0:
             b, _, d = dense.shape
             dense_acc = dense if 1.0 in scales else jnp.zeros_like(dense)

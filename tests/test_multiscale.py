@@ -59,6 +59,28 @@ def test_multi_scale_runs():
     assert np.all(np.isfinite(i2)) and np.all(u2 >= i2)
 
 
+def test_sliding_window_runs():
+    cfg = update_cfg(task_cfg_init_fn, None, argv=[
+        "model.max_length=12",
+        "transforms.input_size=32",
+        "seg_eval.window={'size': 16, 'stride': 8}",
+    ], target=new_base_cfg())
+    model = tiny_clip(img_size=16)  # windows are 16px -> 2x2 patch grid
+    dummy = {
+        "image": jnp.zeros((1, 16, 16, 3)),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), dummy)
+    fwd = make_seg_forward(model, cfg, num_classes=6, top_cls_num=4,
+                           canvas=64, patch_size=8)
+    images, tb, labels, h, w = _inputs()
+    inter, union = fwd(params, images, tb, labels, h, w)
+    assert inter.shape == (6,)
+    assert np.all(np.isfinite(np.asarray(inter)))
+    assert np.all(np.asarray(union) >= np.asarray(inter))
+
+
 def test_vit_variable_resolution_pos_embed():
     """The ViT resamples its position grid for off-nominal input sizes
     (multi-scale path)."""

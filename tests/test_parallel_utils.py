@@ -85,6 +85,18 @@ def test_grad_reverse():
     np.testing.assert_allclose(np.asarray(g), -2.0)
 
 
+def test_device_prefetch():
+    from simseg_tpu.parallel import device_prefetch
+
+    mesh = make_mesh()
+    batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_allclose(np.asarray(b["x"]), i)
+        assert b["x"].sharding.is_fully_addressable
+
+
 def test_misc_helpers():
     m = AverageMeter("loss")
     m.update(1.0)
