@@ -168,6 +168,15 @@ class RetrievalEvalHook(Hook):
         else:
             iid = np.arange(img.shape[0])
             cid = np.arange(txt.shape[0])
+        if jax.process_count() > 1 and not runner.cfg.data.get("single_eval", True):
+            # pod eval: each process embedded its own shard — gather all
+            # (parity: eval.py all_gather of embeddings + ids)
+            from simseg_tpu.parallel.collectives import process_allgather
+
+            img = process_allgather(img).reshape(-1, img.shape[-1])
+            txt = process_allgather(txt).reshape(-1, txt.shape[-1])
+            iid = process_allgather(iid).reshape(-1)
+            cid = process_allgather(cid).reshape(-1)
         keep = iid > -1  # drop padding rows (eval.py:32-33)
         summary = retrieval_summary(img[keep], txt[keep], iid[keep], cid[keep])
         runner.state.retrieval_summary = summary

@@ -53,7 +53,9 @@ def make_seg_decode_fn(
         best_weight:(B, H, W) float32 winning score*mask weight (0 where bg)
     """
     grid = image_size // patch_size
-    # candidates come from the top-k shortlist, so the budget can't exceed it
+    # the shortlist can't exceed the label bank, nor the candidate budget
+    # the shortlist (small banks in tests / custom datasets)
+    top_cls_num = min(top_cls_num, num_classes)
     candidate_classes = min(candidate_classes, top_cls_num)
 
     @jax.jit

@@ -1,0 +1,140 @@
+"""CLI smoke tests: the public tools run end-to-end via their real argv
+surface (config yaml + dotted overrides + vocab fallback)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_YAML = """\
+model:
+  image_encoder:
+    tag: vit_test
+    embedding_dim: 32
+  text_encoder:
+    tag: bert_test
+    embedding_dim: 32
+  projection:
+    name: simple
+    dim: 16
+  pool:
+    name: loda
+    loda:
+      image_k: 3
+      text_k: 1
+  max_length: 12
+loss:
+  temperature:
+    name: parameter
+    value: 0.02
+dist:
+  bf16: False
+transforms:
+  input_size: 32
+  resize:
+    size: 32
+  valid_transforms: [resize]
+data:
+  batch_size_val: 1
+  num_workers: 1
+"""
+
+
+def _write_vocab(path):
+    from simseg_tpu.data.tokenizer import make_test_vocab
+
+    vocab = make_test_vocab(["a", "photo", "of", "the", "background",
+                             "dog", "cat", "bird"])
+    with open(path, "w") as f:
+        for tok in vocab:
+            f.write(tok + "\n")
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+
+
+@pytest.mark.slow
+def test_seg_evaluation_cli(tmp_path):
+    # fixture VOC data
+    root = tmp_path / "data" / "VOCdevkit" / "VOC2012"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(2):
+        n = f"2007_{i:06d}"
+        names.append(n)
+        Image.fromarray(rng.integers(0, 255, (40, 50, 3), np.uint8)).save(
+            root / "JPEGImages" / f"{n}.jpg")
+        Image.fromarray(rng.integers(0, 4, (40, 50)).astype(np.uint8)).save(
+            root / "SegmentationClass" / f"{n}.png")
+    (root / "ImageSets" / "Segmentation" / "val.txt").write_text("\n".join(names))
+
+    # label bank with the tiny 4-class set
+    (tmp_path / "data" / "label_category").mkdir()
+    (tmp_path / "data" / "label_category" / "pascal_voc.txt").write_text(
+        "background\ndog\ncat\nbird\n")
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(TINY_YAML)
+    vocab = tmp_path / "vocab.txt"
+    _write_vocab(vocab)
+
+    result = _run(
+        [os.path.join(REPO, "tools", "seg_evaluation.py"),
+         "--cfg", str(cfg_path), "--vocab_file", str(vocab),
+         "data.valid_name=[pascal_voc]", f"data.data_path={tmp_path}/data/"],
+        cwd=str(tmp_path),
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "final mean iou" in result.stdout
+
+
+@pytest.mark.slow
+def test_retrieval_evaluation_cli(tmp_path):
+    import pandas as pd
+    from io import BytesIO
+
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(6):
+        buf = BytesIO()
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            buf, "JPEG")
+        rows.append({
+            "imbytes": buf.getvalue(),
+            "caption": f"a photo of the dog {i}",
+            "image_id": i // 2,
+            "id": i,
+        })
+    (tmp_path / "data" / "f30k").mkdir(parents=True)
+    pd.DataFrame(rows).to_parquet(tmp_path / "data" / "f30k" / "valid.parquet")
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(TINY_YAML)
+    vocab = tmp_path / "vocab.txt"
+    _write_vocab(vocab)
+
+    result = _run(
+        [os.path.join(REPO, "tools", "retrieval_evaluation.py"),
+         "--cfg", str(cfg_path), "--vocab_file", str(vocab),
+         "data.valid_name=[f30k]", f"data.data_path={tmp_path}/data/",
+         "data.batch_size_val=3"],
+        cwd=str(tmp_path),
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "rsum" in result.stdout
