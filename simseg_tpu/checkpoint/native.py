@@ -108,6 +108,49 @@ def has_checkpoint(directory: str) -> bool:
     return os.path.exists(os.path.join(directory, name, STATE_FILE))
 
 
+# --------------------------------------------------------------------------
+# orbax backend (pod-scale: multihost-coordinated, async-capable, retention)
+# --------------------------------------------------------------------------
+
+def make_orbax_manager(directory: str, max_to_keep: int = 3):
+    """CheckpointManager for sharded/multihost checkpoints. The msgpack
+    functions above are the single-host default; orbax adds multihost
+    coordination and async saves for pod training."""
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True),
+    )
+
+
+def save_checkpoint_orbax(manager, step: int, state, meta: Optional[Dict[str, Any]] = None) -> None:
+    import orbax.checkpoint as ocp
+
+    manager.save(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardSave(jax.device_get(state)),
+            meta=ocp.args.JsonSave(dict(meta or {})),
+        ),
+    )
+
+
+def load_checkpoint_orbax(manager, state, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    step = manager.latest_step() if step is None else step
+    restored = manager.restore(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(jax.device_get(state)),
+            meta=ocp.args.JsonRestore(),
+        ),
+    )
+    return restored["state"], dict(restored["meta"] or {})
+
+
 def dump_config_snapshot(directory: str, cfg) -> None:
     """parity: checkpoint.py:69-77 (global.yaml snapshot)."""
     if not _is_proc0():
