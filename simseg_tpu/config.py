@@ -20,7 +20,7 @@ from typing import Any, Callable, List, Optional, Sequence
 
 import yaml
 
-from simseg_tpu.utils.collections import AttrDict
+from simseg_tpu.utils.collections import AttrDict, OpenDict
 from simseg_tpu.utils.logger import logger
 
 
@@ -43,7 +43,7 @@ def new_base_cfg() -> AttrDict:
     cfg.dist.name = "jax"
     cfg.dist.bf16 = True
     cfg.dist.fp16 = False  # accepted for reference-config compatibility
-    cfg.dist.param = AttrDict()
+    cfg.dist.param = OpenDict()
 
     cfg.model = AttrDict()
     cfg.model.name = ""
@@ -57,14 +57,14 @@ def new_base_cfg() -> AttrDict:
 
     cfg.optim = AttrDict()
     cfg.optim.name = "adamw"
-    cfg.optim.param = AttrDict()
-    cfg.optim.param_group_rules = AttrDict()
-    cfg.optim.grad_clip = AttrDict()
+    cfg.optim.param = OpenDict()
+    cfg.optim.param_group_rules = OpenDict()
+    cfg.optim.grad_clip = OpenDict()
     cfg.optim.lr = AttrDict()
     cfg.optim.lr.name = "constant_schedule"
     cfg.optim.lr.init = 1e-4
     cfg.optim.lr.warmup_proportion = 0.0
-    cfg.optim.lr.param = AttrDict()
+    cfg.optim.lr.param = OpenDict()
 
     cfg.ckpt = AttrDict()
     cfg.ckpt.dir = "./output"
@@ -91,13 +91,17 @@ cfg = new_base_cfg()
 # --------------------------------------------------------------------------
 
 def _merge_a_into_b(a: dict, b: AttrDict, path: str = "") -> None:
-    """Strict merge: every key in ``a`` must already exist in ``b``
-    (parity: config.py:182-205)."""
+    """Strict merge: every key in ``a`` must already exist in ``b``; plain
+    OpenDict leaves (optimizer/scheduler param banks) are replaced wholesale
+    without key checking (parity: config.py:182-205, which only recurses
+    strictly into AttrDicts)."""
     for k, v in a.items():
         full = f"{path}.{k}" if path else str(k)
         if k not in b:
             raise KeyError(f"Unknown config key: {full}")
-        if isinstance(v, dict) and isinstance(b[k], AttrDict):
+        if isinstance(b[k], OpenDict):
+            b[k] = OpenDict(v) if isinstance(v, dict) else _coerce(v, b[k], full)
+        elif isinstance(v, dict) and isinstance(b[k], AttrDict):
             _merge_a_into_b(v, b[k], full)
         else:
             b[k] = _coerce(v, b[k], full)
@@ -195,13 +199,21 @@ def _update_from_argv(target: AttrDict, argv: Sequence[str]) -> None:
         parts = key.split(".")
         node = target
         for p in parts[:-1]:
-            if not isinstance(node, AttrDict) or p not in node:
+            if not isinstance(node, (AttrDict, OpenDict)) or p not in node:
                 raise KeyError(f"Unknown config key in CLI override: {key}")
             node = node[p]
         leaf = parts[-1]
+        if isinstance(node, OpenDict):
+            # open param bank: arbitrary leaf keys allowed
+            node[leaf] = _decode_value(raw)
+            continue
         if leaf not in node:
             raise KeyError(f"Unknown config key in CLI override: {key}")
-        node[leaf] = _coerce(_decode_value(raw), node[leaf], key)
+        value = _decode_value(raw)
+        if isinstance(node[leaf], OpenDict) and isinstance(value, dict):
+            node[leaf] = OpenDict(value)
+        else:
+            node[leaf] = _coerce(value, node[leaf], key)
 
 
 def update_cfg(

@@ -8,7 +8,7 @@ bf16 instead of fp16 scalers; NCCL group size -> mesh group axis).
 
 import os
 
-from simseg_tpu.utils.collections import AttrDict
+from simseg_tpu.utils.collections import AttrDict, OpenDict
 
 
 def task_cfg_init_fn(cfg: AttrDict) -> None:
@@ -37,18 +37,19 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.log.interval_val = 1
 
     cfg.dist.name = "jax"
-    cfg.dist.param = AttrDict()
+    # apex opt params accepted from reference configs (no-op on TPU)
+    cfg.dist.param = OpenDict()
     cfg.dist.bf16 = True
     cfg.dist.fp16 = False  # accepted from reference configs; implies bf16 on TPU
 
     cfg.optim.name = "torch.optim.AdamW"
-    cfg.optim.param = AttrDict(betas=(0.9, 0.98), eps=1e-6, weight_decay=0.1)
-    cfg.optim.grad_clip = AttrDict()
+    cfg.optim.param = OpenDict(betas=(0.9, 0.98), eps=1e-6, weight_decay=0.1)
+    cfg.optim.grad_clip = OpenDict()
 
     cfg.optim.lr.name = "cosine_schedule_with_warmup"
     cfg.optim.lr.init = 1e-4
     cfg.optim.lr.warmup_proportion = 0.025
-    cfg.optim.lr.param = AttrDict(num_cycles=0.5)
+    cfg.optim.lr.param = OpenDict(num_cycles=0.5)
 
     # ----- dataset -----
     cfg.data.exp_name = "test"

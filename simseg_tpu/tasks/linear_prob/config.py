@@ -8,7 +8,7 @@ keys; defaults tuned for LARS at batch 16,384 as in
 
 from simseg_tpu.tasks.clip.config import task_cfg_init_fn as _clip_init
 from simseg_tpu.tasks.clip.config import update_clip_config as update_linear_config  # noqa: F401
-from simseg_tpu.utils.collections import AttrDict
+from simseg_tpu.utils.collections import AttrDict, OpenDict
 
 
 def task_cfg_init_fn(cfg: AttrDict) -> None:
@@ -35,7 +35,7 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.mixup.alpha = 0.2
 
     cfg.optim.name = "LARS"
-    cfg.optim.param = AttrDict(momentum=0.9, weight_decay=0.0,
+    cfg.optim.param = OpenDict(momentum=0.9, weight_decay=0.0,
                                trust_coefficient=0.001)
     cfg.optim.lr.name = "cosine_schedule_with_warmup"
     cfg.optim.lr.init = 6.4

@@ -14,6 +14,19 @@ from typing import Any, Mapping
 _IMMUTABLE = "__adict_immutable__"
 
 
+class OpenDict(dict):
+    """A plain-dict config leaf: YAML/CLI values replace it wholesale with
+    no strict key checking (parity: the reference task banks store optimizer
+    / scheduler params as plain dicts, and _merge_a_into_b only recurses
+    strictly into AttrDicts, core/config.py:198-203)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+
 class AttrDict(dict):
     """dict with attribute access and a recursive immutable flag."""
 
@@ -27,7 +40,7 @@ class AttrDict(dict):
     # -- conversion ---------------------------------------------------------
     @staticmethod
     def _convert(value: Any) -> Any:
-        if isinstance(value, AttrDict):
+        if isinstance(value, (AttrDict, OpenDict)):
             return value
         if isinstance(value, Mapping):
             return AttrDict(value)
@@ -81,16 +94,9 @@ class AttrDict(dict):
         return object.__getattribute__(self, _IMMUTABLE)
 
     def to_dict(self) -> dict:
-        """Plain-dict deep copy (for YAML dumps / snapshots)."""
-        out = {}
-        for k, v in self.items():
-            if isinstance(v, AttrDict):
-                out[k] = v.to_dict()
-            elif isinstance(v, list):
-                out[k] = [x.to_dict() if isinstance(x, AttrDict) else copy.copy(x) for x in v]
-            else:
-                out[k] = v
-        return out
+        """Plain-primitive deep copy (dict/list/scalars only — safe for
+        yaml.safe_dump config snapshots)."""
+        return _plainify(self)
 
     def __deepcopy__(self, memo: dict) -> "AttrDict":
         new = AttrDict()
@@ -99,6 +105,14 @@ class AttrDict(dict):
             dict.__setitem__(new, copy.deepcopy(k, memo), copy.deepcopy(v, memo))
         object.__setattr__(new, _IMMUTABLE, object.__getattribute__(self, _IMMUTABLE))
         return new
+
+
+def _plainify(value: Any) -> Any:
+    if isinstance(value, Mapping):
+        return {k: _plainify(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_plainify(v) for v in value]
+    return copy.copy(value)
 
 
 def _freeze_nested(value: Any, flag: bool) -> None:
