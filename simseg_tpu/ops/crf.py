@@ -151,8 +151,19 @@ def dense_crf_batched(
     assert h % s == 0 and w % s == 0, (h, w, s)
 
     p = jnp.clip(probs.astype(jnp.float32), 0.0, 1.0)
-    # unary: (B, K, 2, H, W); label 0 = background
-    u = -jnp.log(jnp.stack([1.0 - p, p], axis=2) + 1e-8)
+    # Binary-label reduction: with labels {bg, fg} and symmetric
+    # normalization, the full 2-channel mean-field update
+    #     q' = softmax(-u + w K q)        (per label)
+    # depends only on the per-pixel difference. Carrying
+    #     d = q_fg - q_bg in [-1, 1]
+    # the update becomes d' = tanh((du + w K d) / 2), where
+    #     du = u_bg - u_fg = log(p+eps) - log(1-p+eps)
+    # (since softmax over 2 labels is a sigmoid of the logit difference and
+    # sigmoid(x)*2-1 = tanh(x/2)). This halves every fine-grid tensor and
+    # the kernel matmul width versus the generic L-label formulation; the
+    # fixed point is identical (verified against the 2-channel numpy
+    # mean-field in tests).
+    du = jnp.log(p + 1e-8) - jnp.log(1.0 - p + 1e-8)  # (B, K, H, W)
 
     taps = jnp.asarray(_gaussian_taps(gaussian_sxy))
 
@@ -202,35 +213,35 @@ def dense_crf_batched(
             )
             return m * b_norm[:, None, :]
 
-    def bilateral_message(q: jnp.ndarray) -> jnp.ndarray:
-        """q: (B, K, 2, H, W) -> normalized bilateral message, via
-        mean-splat -> (streaming kernel | kernel matrix) -> nearest slice.
+    def bilateral_message(d: jnp.ndarray) -> jnp.ndarray:
+        """d: (B, K, H, W) -> normalized bilateral message on the label
+        difference, via mean-splat -> (streaming kernel | kernel matrix) ->
+        nearest slice.
 
         Normalization note: the fine-grid degree is D_i = s^2 (K 1)_c, so the
         two D^{-1/2} factors contribute 1/s^2, exactly cancelling the s^2 of
         a sum-splat — i.e. mean-splat with coarse-degree normalization is the
         correct discretization (verified against the exact stride-1 kernel in
         tests)."""
-        q_small = _box_downsample(q.reshape(bb, kk * 2, h, w), s)
-        q_small = q_small.reshape(bb, kk * 2, n_small)
-        m = _bilateral_apply(q_small)
-        m = m.reshape(bb, kk, 2, h // s, w // s)
+        d_small = _box_downsample(d, s).reshape(bb, kk, n_small)
+        m = _bilateral_apply(d_small)
+        m = m.reshape(bb, kk, h // s, w // s)
         # slice: nearest upsample back to fine grid
         m = jnp.repeat(jnp.repeat(m, s, axis=-2), s, axis=-1)
         return m
 
-    def gaussian_message(q: jnp.ndarray) -> jnp.ndarray:
-        qn = q * g_norm
-        m = _sep_blur(qn, taps)
+    def gaussian_message(d: jnp.ndarray) -> jnp.ndarray:
+        dn = d * g_norm
+        m = _sep_blur(dn, taps)
         return m * g_norm
 
-    def body(_, q):
-        m = gaussian_compat * gaussian_message(q) + bilateral_compat * bilateral_message(q)
-        return jax.nn.softmax(-u + m, axis=2)
+    def body(_, d):
+        m = gaussian_compat * gaussian_message(d) + bilateral_compat * bilateral_message(d)
+        return jnp.tanh((du + m) * 0.5)
 
-    q0 = jax.nn.softmax(-u, axis=2)
-    q = jax.lax.fori_loop(0, num_iters, body, q0)
-    return jnp.argmax(q, axis=2).astype(jnp.int32)
+    d0 = jnp.tanh(du * 0.5)
+    d = jax.lax.fori_loop(0, num_iters, body, d0)
+    return (d > 0).astype(jnp.int32)
 
 
 def dense_crf_binary(probs: jnp.ndarray, rgb: jnp.ndarray, **kwargs) -> jnp.ndarray:
