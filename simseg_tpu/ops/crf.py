@@ -226,9 +226,10 @@ def dense_crf_batched(
         d_small = _box_downsample(d, s).reshape(bb, kk, n_small)
         m = _bilateral_apply(d_small)
         m = m.reshape(bb, kk, h // s, w // s)
-        # slice: nearest upsample back to fine grid
-        m = jnp.repeat(jnp.repeat(m, s, axis=-2), s, axis=-1)
-        return m
+        # slice: nearest upsample back to fine grid (single broadcast pass)
+        from simseg_tpu.ops.morphology import nearest_upsample
+
+        return nearest_upsample(m, s)
 
     def gaussian_message(d: jnp.ndarray) -> jnp.ndarray:
         dn = d * g_norm

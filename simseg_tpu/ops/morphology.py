@@ -16,30 +16,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def dilate(x: jnp.ndarray, ksize: int = 7) -> jnp.ndarray:
-    """Max filter over a ksize x ksize window; x: (..., H, W)."""
+def _sep_window(x: jnp.ndarray, ksize: int, init, op) -> jnp.ndarray:
+    """Separable square max/min filter: a k x k rank filter is two 1-D
+    passes (k+k comparisons per pixel instead of k*k)."""
     pad = ksize // 2
     nd = x.ndim
-    dims = (1,) * (nd - 2) + (ksize, ksize)
-    strides = (1,) * nd
-    padding = ((0, 0),) * (nd - 2) + (((pad, ksize - 1 - pad),) * 2)
-    return jax.lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        jax.lax.max, dims, strides, padding,
-    )
+
+    def pass_along(v, axis):
+        dims = [1] * nd
+        dims[axis] = ksize
+        padding = [(0, 0)] * nd
+        padding[axis] = (pad, ksize - 1 - pad)
+        return jax.lax.reduce_window(
+            v, init, op, tuple(dims), (1,) * nd, tuple(padding)
+        )
+
+    return pass_along(pass_along(x, nd - 1), nd - 2)
+
+
+def dilate(x: jnp.ndarray, ksize: int = 7) -> jnp.ndarray:
+    """Max filter over a ksize x ksize window; x: (..., H, W)."""
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return _sep_window(x, ksize, init, jax.lax.max)
 
 
 def erode(x: jnp.ndarray, ksize: int = 7) -> jnp.ndarray:
     """Min filter over a ksize x ksize window; x: (..., H, W)."""
-    pad = ksize // 2
-    nd = x.ndim
-    dims = (1,) * (nd - 2) + (ksize, ksize)
-    strides = (1,) * nd
-    padding = ((0, 0),) * (nd - 2) + (((pad, ksize - 1 - pad),) * 2)
-    return jax.lax.reduce_window(
-        x, jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).max,
-        jax.lax.min, dims, strides, padding,
-    )
+    init = jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).max
+    return _sep_window(x, ksize, init, jax.lax.min)
 
 
 def closing(x: jnp.ndarray, ksize: int = 7) -> jnp.ndarray:
@@ -50,8 +54,14 @@ def closing(x: jnp.ndarray, ksize: int = 7) -> jnp.ndarray:
 def nearest_upsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Integer-factor nearest upsample of (..., H, W) — matches
     ``F.interpolate(scale_factor=f, mode='nearest')``
-    (seg_evaluation.py:117/139)."""
-    return jnp.repeat(jnp.repeat(x, factor, axis=-2), factor, axis=-1)
+    (seg_evaluation.py:117/139). One broadcast+reshape (single pass) instead
+    of two jnp.repeat relayouts."""
+    *lead, h, w = x.shape
+    out = jnp.broadcast_to(
+        x[..., :, None, :, None],
+        (*lead, h, factor, w, factor),
+    )
+    return out.reshape(*lead, h * factor, w * factor)
 
 
 def cv2_nearest_indices(in_size: int, out_size: int) -> np.ndarray:

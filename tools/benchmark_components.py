@@ -1,0 +1,119 @@
+"""Component-level performance harness (single chip).
+
+Prints one line per component. Timing methodology: a scalar accumulator is
+chained through the iterations and fetched once per trial, so the numbers
+measure completed device execution even on tunneled platforms where
+``block_until_ready`` can return early (see CLAUDE.md).
+
+Usage: python tools/benchmark_components.py [--batch 16] [--iters 20]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, args, batch, iters=20, trials=3):
+    acc = jnp.zeros((), jnp.float32)
+    float(fn(*args, acc))  # compile + warm
+    rates = []
+    for _ in range(trials):
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = fn(*args, acc)
+        float(acc)
+        rates.append(batch * iters / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args()
+    b = args.batch
+
+    from simseg_tpu.models.clip import CLIPModel
+    from simseg_tpu.ops.seg_decode import make_seg_decode_fn
+    from simseg_tpu.ops.pooling import l2_normalize
+
+    model = CLIPModel(
+        image_tag="vit_base_patch16_224_in21k", img_size=288,
+        text_tag="bert-base-uncased", projection_name="simple",
+        projection_dim=512, pool_name="loda", image_k=5, text_k=1,
+        temperature_name="parameter", temperature_init=0.02,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(b, 288, 288, 3)).astype(np.float32))
+    raw = jnp.asarray(rng.integers(0, 255, (b, 288, 288, 3)).astype(np.uint8))
+    ids = jnp.asarray(rng.integers(0, 30522, (b, 25)).astype(np.int32))
+    mask = jnp.ones((b, 25), jnp.int32)
+    batch = {"image": images[:1], "input_ids": ids[:1], "attention_mask": mask[:1]}
+    params = model.init(jax.random.key(0), batch)
+    tb = rng.normal(size=(21, 512)).astype(np.float32)
+    tb = jnp.asarray(tb / np.linalg.norm(tb, axis=1, keepdims=True))
+
+    results = {}
+
+    @jax.jit
+    def image_fwd(params, x, acc):
+        t = model.apply(params, x, method=lambda m, im: m.forward_image_tokens(im))
+        return acc + jnp.sum(t).astype(jnp.float32)
+
+    results["image_tower_fwd"] = timed(image_fwd, (params, images), b, args.iters)
+
+    @jax.jit
+    def text_fwd(params, i, m, acc):
+        h = model.apply(params, i, m,
+                        method=lambda mm, a, c: mm.forward_text_feature(a, c))
+        return acc + jnp.sum(h).astype(jnp.float32)
+
+    results["text_tower_fwd"] = timed(text_fwd, (params, ids, mask), b, args.iters)
+
+    for backend in ("pallas", "xla"):
+        decode = make_seg_decode_fn(21, 288, 16, 10, 5, crf_backend=backend)
+        dense = l2_normalize(jnp.asarray(
+            rng.normal(size=(b, 324, 512)).astype(np.float32)))
+        pooled = l2_normalize(jnp.asarray(
+            rng.normal(size=(b, 512)).astype(np.float32)))
+
+        @jax.jit
+        def decode_fn(d, p, t, r, acc):
+            pred, bw = decode(d, p, t, r)
+            return acc + jnp.sum(pred).astype(jnp.float32) + jnp.sum(bw)
+
+        results[f"seg_decode_{backend}"] = timed(
+            decode_fn, (dense, pooled, tb, raw), b, args.iters)
+
+    @jax.jit
+    def end_to_end(params, x, r, t, acc):
+        tokens = model.apply(params, x, method=lambda m, im: m.forward_image_tokens(im))
+        patches = tokens[:, 1:]
+        pooled = model.apply(params, patches,
+                             method=lambda m, tt: m.forward_image_project(tt))
+        dense = model.apply(params, patches,
+                            method=lambda m, tt: m.project_image_tokens(tt))
+        dense = l2_normalize(dense.astype(jnp.float32))
+        decode = make_seg_decode_fn(21, 288, 16, 10, 5)
+        pred, bw = decode(dense, pooled.astype(jnp.float32), t, r)
+        return acc + jnp.sum(pred).astype(jnp.float32) + jnp.sum(bw)
+
+    results["seg_end_to_end"] = timed(end_to_end, (params, images, raw, tb),
+                                      b, args.iters)
+
+    print(f"\n== component throughput (batch {b}, images/sec/chip) ==")
+    for k, v in results.items():
+        print(f"{k:24s} {v:10.1f}")
+
+
+if __name__ == "__main__":
+    main()
