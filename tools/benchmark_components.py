@@ -110,6 +110,38 @@ def main():
     results["seg_end_to_end"] = timed(end_to_end, (params, images, raw, tb),
                                       b, args.iters)
 
+    # full contrastive train step (fwd + bwd + AdamW), flagship model
+    from simseg_tpu.core.optim import build_optimizer
+    from simseg_tpu.engine import TrainState, make_train_step
+    from simseg_tpu.utils.collections import AttrDict, OpenDict
+
+    cfg = AttrDict()
+    cfg.optim = AttrDict()
+    cfg.optim.name = "torch.optim.AdamW"
+    cfg.optim.param = OpenDict(betas=(0.9, 0.98), eps=1e-6, weight_decay=0.001)
+    cfg.optim.param_group_rules = OpenDict()
+    cfg.optim.grad_clip = OpenDict()
+    tx, set_lr = build_optimizer(cfg, params)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, set_lr, donate=False)
+    train_batch = {"image": images, "input_ids": ids, "attention_mask": mask}
+
+    def train_fn(state):
+        t0 = time.perf_counter()
+        s = state
+        iters = max(args.iters // 2, 5)
+        for i in range(iters):
+            s, metrics = step(s, train_batch, jax.random.key(i), 1e-4)
+        float(metrics["loss"])  # sync
+        return b * iters / (time.perf_counter() - t0), s
+
+    _, state = train_fn(state)  # compile + warm
+    rates = []
+    for _ in range(3):
+        r, state = train_fn(state)
+        rates.append(r)
+    results["clip_train_step"] = float(np.median(rates))
+
     print(f"\n== component throughput (batch {b}, images/sec/chip) ==")
     for k, v in results.items():
         print(f"{k:24s} {v:10.1f}")
