@@ -60,6 +60,7 @@ def new_base_cfg() -> AttrDict:
     cfg.optim.param = OpenDict()
     cfg.optim.param_group_rules = OpenDict()
     cfg.optim.grad_clip = OpenDict()
+    cfg.optim.skip_nonfinite = 0  # >0: skip non-finite updates (NaN guard)
     cfg.optim.lr = AttrDict()
     cfg.optim.lr.name = "constant_schedule"
     cfg.optim.lr.init = 1e-4

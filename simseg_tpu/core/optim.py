@@ -61,16 +61,26 @@ def _base_opt(name: str, opt_param: Dict[str, Any], weight_decay: float):
     raise NotImplementedError(f"optimizer '{name}'")
 
 
-def _param_labels(params, rules: Dict[str, Dict[str, Any]]):
-    """Label each leaf by the first matching regex rule ('default' if none).
-    Parameter names are '/'-joined pytree paths (e.g.
-    'image_encoder/blocks_0/attn/qkv/kernel')."""
+def _rule_pattern(rule: Dict[str, Any]) -> str:
+    # accept both our 'pattern' key and the reference's 'regex'
+    # (tasks/clip/hooks/optimizer.py:28)
+    return rule.get("pattern") or rule["regex"]
+
+
+def _param_labels(params, rules: Dict[str, Dict[str, Any]],
+                  frozen_patterns=()):
+    """Label each leaf: '_frozen' if it matches a frozen pattern, else the
+    first matching regex rule, else 'default'. Parameter names are
+    '/'-joined pytree paths (e.g. 'image_encoder/blocks_0/attn/qkv/kernel')."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def label_of(path) -> str:
         name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        for pat in frozen_patterns:
+            if re.search(pat, name):
+                return "_frozen"
         for rule_name, rule in rules.items():
-            if re.search(rule["pattern"], name):
+            if re.search(_rule_pattern(rule), name):
                 return rule_name
         return "default"
 
@@ -79,22 +89,37 @@ def _param_labels(params, rules: Dict[str, Dict[str, Any]]):
 
 
 def build_optimizer(
-    cfg, params
+    cfg, params, frozen_patterns=()
 ) -> Tuple[optax.GradientTransformation, Callable]:
     """Returns (tx, set_lr) where ``set_lr(opt_state, lr)`` writes the
-    host-computed lr (times any per-group multiplier) into the state."""
+    host-computed lr (times any per-group multiplier) into the state.
+
+    ``frozen_patterns``: regexes of parameter paths to exclude from updates
+    (the reference's requires_grad=False gating: pipelines/clip.py:199-200,
+    tasks/clip/hooks/optimizer.py:26-27).
+    """
     opt_param = dict(cfg.optim.get("param", {}))
     weight_decay = opt_param.get("weight_decay", 0.0)
+    base_lr = cfg.optim.get("lr", {}).get("init", None)
     rules = dict(cfg.optim.get("param_group_rules", {}) or {})
 
     mults: Dict[str, float] = {"default": 1.0}
-    if rules:
+    if rules or frozen_patterns:
         opts = {"default": _base_opt(cfg.optim.name, opt_param, weight_decay)}
+        if frozen_patterns:
+            opts["_frozen"] = optax.set_to_zero()
         for rule_name, rule in rules.items():
-            wd = rule.get("weight_decay", weight_decay)
+            # reference rule format: {'regex': ..., 'param': {'lr', 'weight_decay'}}
+            rp = dict(rule.get("param", {}) or {})
+            wd = rule.get("weight_decay", rp.get("weight_decay", weight_decay))
             opts[rule_name] = _base_opt(cfg.optim.name, opt_param, wd)
-            mults[rule_name] = rule.get("lr_mult", 1.0)
-        labels = _param_labels(params, rules)
+            if "lr_mult" in rule:
+                mults[rule_name] = rule["lr_mult"]
+            elif "lr" in rp and base_lr:
+                mults[rule_name] = rp["lr"] / base_lr
+            else:
+                mults[rule_name] = 1.0
+        labels = _param_labels(params, rules, frozen_patterns)
         tx = optax.multi_transform(opts, labels)
         logger.info(f"Optimizer param groups: {sorted(opts)}")
     else:
@@ -104,6 +129,13 @@ def build_optimizer(
     max_norm = clip.get("max_norm", None)
     if max_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_norm), tx)
+
+    # NaN/inf guard: skip non-finite updates, abort after N consecutive bad
+    # steps (bf16 training failure detection; SURVEY.md §5 notes the
+    # reference has none)
+    skip_nonfinite = cfg.optim.get("skip_nonfinite", 0) or 0
+    if skip_nonfinite > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
 
     def set_lr(opt_state, lr):
         """Replace learning_rate in every InjectHyperparamsState

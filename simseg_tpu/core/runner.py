@@ -91,7 +91,8 @@ class EpochRunner(BaseRunner):
         self._rng = rng or jax.random.key(cfg.seed or 0)
         if params is None:
             params = self._init_params(self._rng)
-        tx, set_lr = build_optimizer(cfg, params)
+        tx, set_lr = build_optimizer(cfg, params,
+                                     frozen_patterns=self.frozen_patterns())
         self.tx = tx
         self._set_lr = set_lr
         self.train_state = TrainState.create(params, tx)
@@ -106,6 +107,11 @@ class EpochRunner(BaseRunner):
         self.call_hook("init_runner")
 
     # -- subclass API ------------------------------------------------------------
+    def frozen_patterns(self):
+        """Regexes of parameter paths excluded from optimization (the
+        reference's requires_grad=False tower gating)."""
+        return ()
+
     def _init_params(self, rng):
         raise NotImplementedError
 
@@ -215,6 +221,22 @@ class CLIPRunner(EpochRunner):
     """Contrastive pretraining runner (parity: clip_runner.py,
     clip_bsgs_runner.py via cfg.runner.name='clip_bsgs')."""
 
+    def frozen_patterns(self):
+        """parity: pipelines/clip.py:199-200/217-218 + projection trainable
+        flags (components/projection.py:41-43)."""
+        m = self.cfg.model
+        patterns = []
+        if not m.image_encoder.get("trainable", True):
+            patterns.append(r"^params/image_encoder/")
+        if not m.text_encoder.get("trainable", True):
+            patterns.append(r"^params/text_encoder/")
+        proj = m.get("projection", {})
+        if not proj.get("image_projector_trainable", True):
+            patterns.append(r"^params/image_projection/")
+        if not proj.get("text_projector_trainable", True):
+            patterns.append(r"^params/text_projection/")
+        return tuple(patterns)
+
     def _init_params(self, rng):
         size = self.cfg.transforms.input_size
         dummy = {
@@ -278,6 +300,11 @@ class CLIPRunner(EpochRunner):
 
 class LinearProbRunner(EpochRunner):
     """ImageNet linear probing (parity: linear_runner.py:20-200)."""
+
+    def frozen_patterns(self):
+        if not self.cfg.model.image_encoder.get("trainable", True):
+            return (r"^params/image_encoder/",)
+        return ()
 
     def _init_params(self, rng):
         size = self.cfg.transforms.input_size

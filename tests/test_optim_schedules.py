@@ -122,3 +122,60 @@ def test_lars_builds_and_steps():
     grads = {"w": jnp.full((8, 8), 0.1)}
     updates, _ = tx.update(grads, state, params)
     assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
+def test_reference_rule_format_and_freezing():
+    """Rules in the reference format ({'regex', 'param': {'lr', ...}}) and
+    frozen-pattern subtrees (requires_grad=False parity)."""
+    from simseg_tpu.core.optim import build_optimizer
+    from simseg_tpu.utils.collections import AttrDict, OpenDict
+
+    params = {"params": {"image_encoder": {"w": jnp.ones(3)},
+                         "head": {"w": jnp.ones(3)}}}
+    cfg = AttrDict()
+    cfg.optim = AttrDict()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = OpenDict(momentum=0.0)
+    cfg.optim.param_group_rules = OpenDict(
+        head_rule={"regex": r"^params/head/", "param": {"lr": 1.0}}
+    )
+    cfg.optim.grad_clip = OpenDict()
+    cfg.optim.lr = AttrDict()
+    cfg.optim.lr.init = 0.1
+
+    tx, set_lr = build_optimizer(cfg, params,
+                                 frozen_patterns=(r"^params/image_encoder/",))
+    state = set_lr(tx.init(params), 0.1)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # frozen subtree: zero update
+    np.testing.assert_allclose(
+        np.asarray(updates["params"]["image_encoder"]["w"]), 0.0)
+    # head rule: absolute lr 1.0 -> mult 10 over base 0.1
+    np.testing.assert_allclose(
+        np.asarray(updates["params"]["head"]["w"]), -1.0, rtol=1e-6)
+
+
+def test_nan_guard_skips_bad_updates():
+    from simseg_tpu.core.optim import build_optimizer
+    from simseg_tpu.utils.collections import AttrDict, OpenDict
+
+    params = {"w": jnp.ones(2)}
+    cfg = AttrDict()
+    cfg.optim = AttrDict()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = OpenDict(momentum=0.0)
+    cfg.optim.param_group_rules = OpenDict()
+    cfg.optim.grad_clip = OpenDict()
+    cfg.optim.skip_nonfinite = 3
+    cfg.optim.lr = AttrDict()
+    cfg.optim.lr.init = 0.1
+
+    tx, set_lr = build_optimizer(cfg, params)
+    state = set_lr(tx.init(params), 0.1)
+    bad = {"w": jnp.asarray([jnp.nan, 1.0])}
+    updates, state = tx.update(bad, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0)  # skipped
+    good = {"w": jnp.ones(2)}
+    updates, state = tx.update(good, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.1, rtol=1e-6)
