@@ -18,6 +18,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -34,6 +35,30 @@ class TrainState(struct.PyTreeNode):
     def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
         return cls(params=params, opt_state=tx.init(params),
                    step=jnp.zeros((), jnp.int32))
+
+
+def opt_state_sharding(opt_state, mesh: Mesh, min_size: int = 2**16):
+    """ZeRO-1-style sharding spec for the optimizer state: each moment
+    tensor above ``min_size`` elements is sharded along its largest
+    mesh-divisible axis over the data axis (the reference's DP keeps full
+    optimizer replicas per GPU; on TPU the sharded state cuts HBM by
+    ~2x params x (1 - 1/n_devices) and XLA inserts the gather around the
+    update)."""
+    n = mesh.devices.size
+    axis = mesh.axis_names[-1]
+
+    def spec_of(x):
+        shape = getattr(x, "shape", ())
+        if not shape or np.prod(shape) < min_size:
+            return NamedSharding(mesh, P())
+        for dim in sorted(range(len(shape)), key=lambda d: -shape[d]):
+            if shape[dim] % n == 0:
+                spec = [None] * len(shape)
+                spec[dim] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_of, opt_state)
 
 
 def clip_loss_fn(
@@ -106,6 +131,8 @@ def make_train_step(
     group_size: int = -1,
     donate: bool = True,
     loss_name: str = "NCE",
+    shard_opt_state: bool = False,
+    opt_shard_min_size: int = 2**16,
     **loss_kwargs,
 ):
     """Build the jitted train step.
@@ -113,6 +140,10 @@ def make_train_step(
     Returned fn: (state, batch, rng, lr) -> (state, metrics). ``lr`` is the
     host-computed scalar from the stateless schedule (the reference's
     set_lrs-before-step contract, lr_scheduler.py:59-65).
+
+    shard_opt_state: ZeRO-1-style — optimizer moments sharded over the mesh
+    (see opt_state_sharding). In this mode the return value is a factory:
+    ``factory(state) -> (step_fn, placed_state)``.
     """
 
     def step_fn(state: TrainState, batch, rng, lr):
@@ -137,6 +168,28 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh.axis_names))
+
+    if shard_opt_state:
+        # factory form: the caller passes the concrete TrainState once so the
+        # per-leaf optimizer shardings can be derived from its structure
+        def jit_with_state(state_template):
+            sh = TrainState(
+                params=jax.tree.map(lambda _: repl, state_template.params),
+                opt_state=opt_state_sharding(state_template.opt_state, mesh,
+                                             min_size=opt_shard_min_size),
+                step=repl,
+            )
+            fn = jax.jit(
+                step_fn,
+                in_shardings=(sh, data, repl, repl),
+                out_shardings=(sh, repl),
+                donate_argnums=(0,) if donate else (),
+            )
+            placed = jax.device_put(state_template, sh)
+            return fn, placed
+
+        return jit_with_state
+
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl, repl),
