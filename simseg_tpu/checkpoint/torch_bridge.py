@@ -23,9 +23,8 @@ Weight layout conversions (torch -> flax):
 
 from __future__ import annotations
 
-import io
 import re
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -12,8 +12,7 @@ points on the host.
 
 from __future__ import annotations
 
-import time
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -27,7 +26,6 @@ from simseg_tpu.engine.bsgs import make_bsgs_train_step
 from simseg_tpu.engine.train_step import TrainState, make_eval_step, make_train_step
 from simseg_tpu.parallel import make_mesh, shard_batch
 from simseg_tpu.utils.collections import AttrDict
-from simseg_tpu.utils.logger import logger
 
 
 class BaseRunner:

@@ -29,14 +29,13 @@ import threading
 from concurrent.futures import ThreadPoolExecutor
 from glob import glob
 from io import BytesIO
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Dict, Iterator, List, Sequence
 
 import numpy as np
 from PIL import Image
 
 from simseg_tpu.data.corruption import process_caption
 from simseg_tpu.data.transforms import build_transforms
-from simseg_tpu.utils.logger import logger
 from simseg_tpu.utils.registry import Registry
 
 DATALOADER = Registry("DATALOADER")

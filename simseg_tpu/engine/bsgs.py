@@ -23,7 +23,7 @@ re-forward's 1/sqrt(T) factor reproduces dL/dT = -(1/2BT^2) sum (p+q-2y)*s
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ TPU mapping:
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,9 +20,6 @@ budget of 5 masked candidates (SURVEY.md §7 hard-part 5).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

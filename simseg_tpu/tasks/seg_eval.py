@@ -16,7 +16,6 @@ two (C,) histograms per batch.
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import List, Sequence, Tuple
 
 import jax

@@ -10,7 +10,7 @@ list instead of torch.distributed ranks.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 
 class _Singleton(type):
