@@ -207,8 +207,13 @@ class EpochRunner(BaseRunner):
 
     def val(self, loader, loader_idx: int = 0) -> None:
         self.state.val_loader_idx = loader_idx
+        val_steps = self.cfg.data.get("val_steps", -1)
+        self.state.val_steps = val_steps if val_steps > 0 else len(loader)
         self.call_hook("_before_val_epoch")
-        for batch in loader:
+        for i, batch in enumerate(loader):
+            if 0 < val_steps <= i:
+                break
+            self.state.val_inner_step = i
             self.call_hook("_before_val_step")
             self.val_step(batch)
             self.call_hook("_after_val_step")

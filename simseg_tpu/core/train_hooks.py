@@ -71,6 +71,16 @@ class LogHook(Hook):
             )
         self._step_times = []
 
+    def after_val_step(self, runner) -> None:
+        """Validation progress (parity: log.py:111-123)."""
+        interval = runner.cfg.log.get("interval_val", 1)
+        i = runner.state.get("val_inner_step", 0)
+        if interval > 0 and (i + 1) % max(interval, 1) == 0:
+            logger.info(
+                f"Val [{runner.state.get('val_loader_idx', 0)}]"
+                f"[{i + 1}/{runner.state.get('val_steps', '?')}]"
+            )
+
 
 class CheckpointHook(Hook):
     def before_run(self, runner) -> None:
