@@ -79,6 +79,14 @@ class EpochRunner(BaseRunner):
         self.val_interval = cfg.runner.val_interval
         self.val_interval_steps = cfg.runner.val_interval_steps
 
+        # batch divisibility guard (parity: core/initial.py:68-72)
+        n_dev = self.mesh.devices.size
+        if self.train_loaders and cfg.data.batch_size % n_dev != 0:
+            raise ValueError(
+                f"data.batch_size {cfg.data.batch_size} must be divisible by "
+                f"the device count {n_dev}"
+            )
+
         # steps math (parity: epoch_runner.py:39-65)
         loader_steps = sum(len(l) for l in self.train_loaders)
         self.train_steps = (
