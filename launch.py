@@ -16,9 +16,11 @@ import os
 import subprocess
 import sys
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
 TASKS = {
-    "clip": "simseg_tpu/tasks/clip/train.py",
-    "linear_prob": "simseg_tpu/tasks/linear_prob/train.py",
+    "clip": os.path.join(_HERE, "simseg_tpu", "tasks", "clip", "train.py"),
+    "linear_prob": os.path.join(_HERE, "simseg_tpu", "tasks", "linear_prob",
+                                "train.py"),
 }
 
 
