@@ -160,6 +160,58 @@ def _bert_entries(prefix: str, dest: Tuple[str, ...]):
         )
 
 
+def _resnet_entries(prefix: str, params_dest: Tuple[str, ...],
+                    stats_dest: Tuple[str, ...]):
+    """(regex, path_fn, convert_fn) entries for a torchvision/timm ResNet
+    under ``prefix``. BN statistics land in the ``batch_stats`` collection."""
+    P = re.escape(prefix)
+
+    def conv(x):  # (O, I, kh, kw) -> (kh, kw, I, O)
+        return np.transpose(x, (2, 3, 1, 0))
+
+    def bn_entries(torch_bn: str, flax_bn: str, scope_regex: str, scoped: bool):
+        for suffix, dest_root, leaf in [
+            ("weight", params_dest, "scale"),
+            ("bias", params_dest, "bias"),
+            ("running_mean", stats_dest, "mean"),
+            ("running_var", stats_dest, "var"),
+        ]:
+            if scoped:
+                yield (
+                    scope_regex + re.escape(f"{torch_bn}.{suffix}") + "$",
+                    lambda m, root=dest_root, fb=flax_bn, lf=leaf:
+                        root + (f"layer{m.group(1)}_{m.group(2)}", fb, lf),
+                    None,
+                )
+            else:
+                yield (
+                    rf"^{P}{re.escape(f'{torch_bn}.{suffix}')}$",
+                    lambda m, root=dest_root, fb=flax_bn, lf=leaf: root + (fb, lf),
+                    None,
+                )
+
+    # stem
+    yield (rf"^{P}conv1\.weight$", lambda m: params_dest + ("conv1", "kernel"), conv)
+    yield from bn_entries("bn1", "bn1", "", scoped=False)
+
+    blk = rf"^{P}layer(\d+)\.(\d+)\."
+    for n in (1, 2, 3):
+        yield (
+            blk + re.escape(f"conv{n}.weight") + "$",
+            lambda m, n=n: params_dest + (f"layer{m.group(1)}_{m.group(2)}",
+                                          f"conv{n}", "kernel"),
+            conv,
+        )
+        yield from bn_entries(f"bn{n}", f"bn{n}", blk, scoped=True)
+    yield (
+        blk + re.escape("downsample.0.weight") + "$",
+        lambda m: params_dest + (f"layer{m.group(1)}_{m.group(2)}",
+                                 "downsample_conv", "kernel"),
+        conv,
+    )
+    yield from bn_entries("downsample.1", "downsample_bn", blk, scoped=True)
+
+
 def _projection_entries(torch_prefix: str, dest_name: str, projection: str):
     P = re.escape(torch_prefix)
 
@@ -188,6 +240,11 @@ def clip_mapping_table(projection: str = "simple"):
     """The full reference-CLIPModel -> flax-CLIPModel mapping."""
     table = []
     table += list(_vit_entries("image_encoder.model.model.", ("params", "image_encoder")))
+    table += list(_resnet_entries(
+        "image_encoder.model.model.",
+        ("params", "image_encoder"),
+        ("batch_stats", "image_encoder"),
+    ))
     table += list(_bert_entries("text_encoder.model.", ("params", "text_encoder")))
     table += list(_projection_entries("image_projection", "image_projection", projection))
     table += list(_projection_entries("text_projection", "text_projection", projection))

@@ -57,8 +57,17 @@ class CLIPModel(nn.Module):
     remat: bool = False
 
     def setup(self) -> None:
-        self.image_encoder = build_vit(self.image_tag, self.img_size, self.dtype,
-                                       self.dropout, remat=self.remat)
+        # tag dispatch mirrors the reference's ImageEncoder kwargs logic
+        # ('vit' in tag -> ViT with img_size; else CNN with global_pool='',
+        # pipelines/clip.py:191-194)
+        if "vit" in self.image_tag:
+            self.image_encoder = build_vit(self.image_tag, self.img_size,
+                                           self.dtype, self.dropout,
+                                           remat=self.remat)
+        else:
+            from simseg_tpu.models.resnet import build_resnet
+
+            self.image_encoder = build_resnet(self.image_tag, self.dtype)
         self.text_encoder = build_bert(self.text_tag, self.dtype, self.dropout,
                                        remat=self.remat)
         proj = {
@@ -92,17 +101,26 @@ class CLIPModel(nn.Module):
     # -- image tower -------------------------------------------------------------
     def forward_image_feature(self, images: jnp.ndarray,
                               deterministic: bool = True) -> jnp.ndarray:
-        """(B, H, W, 3) -> token features. identity pool: CLS (B, D);
-        otherwise patch tokens (B, N, D)."""
+        """(B, H, W, 3) -> token features. ViT + identity pool: CLS (B, D);
+        ViT otherwise: patch tokens (B, N, D); CNN: spatial map reshaped to
+        (B, HW, C) (parity: pipelines/clip.py:65-84)."""
         tokens = self.image_encoder(images, deterministic)
+        if tokens.ndim == 4:  # CNN feature map (B, h, w, C)
+            b, h, w, c = tokens.shape
+            return tokens.reshape(b, h * w, c)
         if self.pool_name == "identity":
             return tokens[:, 0]
         return tokens[:, 1:]
 
     def forward_image_tokens(self, images: jnp.ndarray,
                              deterministic: bool = True) -> jnp.ndarray:
-        """Full (B, 1+N, D) sequence (seg eval needs both CLS and patches)."""
-        return self.image_encoder(images, deterministic)
+        """ViT: full (B, 1+N, D) sequence (seg eval needs CLS + patches);
+        CNN: (B, HW, C) spatial tokens."""
+        tokens = self.image_encoder(images, deterministic)
+        if tokens.ndim == 4:
+            b, h, w, c = tokens.shape
+            return tokens.reshape(b, h * w, c)
+        return tokens
 
     def forward_image_project(self, image_features: jnp.ndarray,
                               deterministic: bool = True) -> jnp.ndarray:

@@ -1,0 +1,103 @@
+"""ResNet image encoder (CNN backbone path).
+
+Parity: reference ``simseg/models/backbones/mml/timm_builder.py:7-20``
+(timm CNN backbones with ``global_pool=''`` returning the spatial feature
+map) and the CNN handling in CLIPModel (``pipelines/clip.py:79-82`` NCHW ->
+(N, HW, C) token reshape; ``:51-62`` freeze_cnn_bn). Layout matches
+torchvision/timm ResNet-50 so torch checkpoints bridge directly.
+
+BatchNorm on TPU: under pjit the batch dim is globally sharded, so batch
+statistics are computed over the global batch automatically — the
+reference's SyncBN conversion (``tasks/clip/train.py:50-56``) is the default
+behavior, not an opt-in. Training-mode statistic updates require threading
+the ``batch_stats`` collection through the train step; this round the
+encoder runs with running-average statistics (the reference's
+``freeze_cnn_bn=True`` mode, which is also the only mode its published
+two-tower recipes exercise for BN) — scale/bias remain trainable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def bn(name):
+            return nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                                momentum=0.9, dtype=self.dtype, name=name)
+
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv3")(out)
+        out = bn("bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                                    momentum=0.9, dtype=self.dtype,
+                                    name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Returns the (B, H/32, W/32, C) spatial feature map
+    (timm ``global_pool=''`` semantics)."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = images.astype(self.dtype)
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        planes = self.width
+        for stage, blocks in enumerate(self.layers):
+            stride = 1 if stage == 0 else 2
+            for i in range(blocks):
+                x = Bottleneck(
+                    planes, stride=stride if i == 0 else 1,
+                    downsample=(i == 0), dtype=self.dtype,
+                    name=f"layer{stage + 1}_{i}",
+                )(x)
+            planes *= 2
+        return x  # (B, h, w, C)
+
+
+RESNET_CONFIGS = {
+    "resnet_test": dict(layers=(1, 1), width=8),
+    "resnet50": dict(layers=(3, 4, 6, 3), width=64),
+    "resnet101": dict(layers=(3, 4, 23, 3), width=64),
+}
+
+
+def build_resnet(tag: str, dtype: jnp.dtype = jnp.float32) -> ResNet:
+    if tag not in RESNET_CONFIGS:
+        raise KeyError(f"Unknown ResNet tag '{tag}'; known: {sorted(RESNET_CONFIGS)}")
+    return ResNet(dtype=dtype, **RESNET_CONFIGS[tag])

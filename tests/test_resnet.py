@@ -1,0 +1,79 @@
+"""CNN backbone path: flax ResNet vs torch fixture, bridged weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from simseg_tpu.checkpoint.torch_bridge import clip_mapping_table, torch_to_flax
+from simseg_tpu.models.clip import CLIPModel
+from simseg_tpu.models.resnet import build_resnet
+from tests.torch_reference import TorchTinyResNet
+
+
+@pytest.fixture(scope="module")
+def bridged_resnet():
+    torch.manual_seed(0)
+    tmodel = TorchTinyResNet()
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            if p.ndim > 0:
+                p.add_(torch.randn_like(p) * 0.05)
+        # non-trivial BN running stats
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.add_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.mul_(1.5)
+    tmodel.eval()
+
+    fmodel = build_resnet("resnet_test")
+    variables = fmodel.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    state = {
+        "image_encoder.model.model." + k: v.detach().numpy()
+        for k, v in tmodel.state_dict().items()
+        if "num_batches_tracked" not in k
+    }
+    table = clip_mapping_table()
+    # remap destinations: drop the 'image_encoder' level for the bare encoder
+    def strip(path):
+        return (path[0],) + path[2:]
+    table = [(pat, (lambda m, f=fn: strip(f(m))), cv) for pat, fn, cv in table]
+    new_vars, report = torch_to_flax(state, variables, table)
+    assert not report["missing"], report["missing"][:5]
+    assert not report["mismatched"], report["mismatched"][:5]
+    return tmodel, fmodel, new_vars
+
+
+def test_resnet_forward_matches_torch(bridged_resnet):
+    tmodel, fmodel, variables = bridged_resnet
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x)).numpy()  # (B, C, h, w)
+    got = fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_clip_cnn_path_shapes():
+    model = CLIPModel(
+        image_tag="resnet_test", img_size=32, text_tag="bert_test",
+        projection_name="simple", projection_dim=16, pool_name="avg",
+        image_k=3, text_k=1, temperature_name="constant",
+        temperature_init=0.02,
+    )
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 128, (2, 8))),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+    }
+    variables = model.init(jax.random.key(0), batch)
+    img, txt, temp = model.apply(variables, batch)
+    assert img.shape == (2, 16) and txt.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(img), axis=-1), 1.0,
+                               rtol=1e-5)
+    feats = model.apply(variables, batch, embeddings="image")
+    # tiny 2-stage net: total stride 8 -> 8x8 = 64 spatial tokens of 64 ch
+    assert feats.shape == (2, 64, 64)

@@ -175,3 +175,46 @@ def torch_clip_embeddings(model: TorchTinyCLIP, image, input_ids, attention_mask
     img_emb = F.normalize(img_emb, dim=-1)
     txt_emb = F.normalize(txt_emb, dim=-1)
     return img_emb, txt_emb
+
+
+class TorchBottleneck(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if downsample:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return F.relu(out + idn)
+
+
+class TorchTinyResNet(nn.Module):
+    """torchvision-layout tiny ResNet matching flax RESNET_CONFIGS
+    'resnet_test' (layers (1,1), width 8); global_pool='' semantics."""
+
+    def __init__(self, width=8):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = nn.Sequential(TorchBottleneck(width, width, 1, True))
+        self.layer2 = nn.Sequential(TorchBottleneck(width * 4, width * 2, 2, True))
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        x = self.layer1(x)
+        x = self.layer2(x)
+        return x  # (B, C, h, w)
