@@ -22,3 +22,36 @@ cite the reference file/lines they provide parity with.
 """
 
 __version__ = "0.1.0"
+
+# Lazy public API: heavy submodules (jax tracing, flax) load on first use.
+_PUBLIC = {
+    "cfg": ("simseg_tpu.config", "cfg"),
+    "update_cfg": ("simseg_tpu.config", "update_cfg"),
+    "AttrDict": ("simseg_tpu.utils.collections", "AttrDict"),
+    "logger": ("simseg_tpu.utils.logger", "logger"),
+    "ENV": ("simseg_tpu.utils.context", "ENV"),
+    "CLIPModel": ("simseg_tpu.models.clip", "CLIPModel"),
+    "build_clip_model": ("simseg_tpu.models.clip", "build_clip_model"),
+    "PIPELINE": ("simseg_tpu.models.clip", "PIPELINE"),
+    "DATALOADER": ("simseg_tpu.data.datasets", "DATALOADER"),
+    "TrainState": ("simseg_tpu.engine.train_step", "TrainState"),
+    "make_train_step": ("simseg_tpu.engine.train_step", "make_train_step"),
+    "CLIPRunner": ("simseg_tpu.core.runner", "CLIPRunner"),
+    "LinearProbRunner": ("simseg_tpu.core.runner", "LinearProbRunner"),
+    "make_mesh": ("simseg_tpu.parallel.mesh", "make_mesh"),
+    "load_clip_checkpoint": ("simseg_tpu.checkpoint.torch_bridge",
+                             "load_clip_checkpoint"),
+}
+
+
+def __getattr__(name):
+    if name in _PUBLIC:
+        import importlib
+
+        module, attr = _PUBLIC[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'simseg_tpu' has no attribute '{name}'")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_PUBLIC))
