@@ -74,6 +74,7 @@ def new_base_cfg() -> AttrDict:
     cfg.ckpt.external_resume = None
     cfg.ckpt.auto_resume = True
     cfg.ckpt.soft_resume = False
+    cfg.ckpt.backend = "msgpack"
 
     cfg.log = AttrDict()
     cfg.log.interval_train = 10

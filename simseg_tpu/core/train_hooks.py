@@ -83,9 +83,43 @@ class LogHook(Hook):
 
 
 class CheckpointHook(Hook):
+    """Checkpointing with two backends: 'msgpack' (default, single-host
+    atomic files) or 'orbax' (multihost-coordinated, async-capable) via
+    cfg.ckpt.backend."""
+
+    def _backend(self, runner) -> str:
+        return runner.cfg.ckpt.get("backend", "msgpack")
+
+    def _orbax(self, runner):
+        if not hasattr(self, "_mgr"):
+            from simseg_tpu.checkpoint.native import make_orbax_manager
+
+            self._mgr = make_orbax_manager(runner.cfg.ckpt.dir)
+        return self._mgr
+
     def before_run(self, runner) -> None:
         cfg = runner.cfg
         dump_config_snapshot(cfg.ckpt.dir, cfg)
+        if self._backend(runner) == "orbax":
+            from simseg_tpu.checkpoint.native import load_checkpoint_orbax
+
+            mgr = self._orbax(runner)
+            if cfg.ckpt.auto_resume and mgr.latest_step() is not None:
+                runner.train_state, meta = load_checkpoint_orbax(
+                    mgr, runner.train_state
+                )
+                runner.epoch = int(meta.get("epoch", 0))
+                runner.step = int(meta.get("step", 0))
+                runner.inner_step = int(meta.get("inner_step", 0))
+                runner.state.wandb_id = meta.get("wandb_id")
+                logger.emph(
+                    f"Auto-resumed (orbax) at epoch {runner.epoch}, "
+                    f"step {runner.step}"
+                )
+                return
+            if cfg.ckpt.external_resume:
+                self._load_external(runner, cfg.ckpt.external_resume)
+            return
         if cfg.ckpt.auto_resume and has_checkpoint(cfg.ckpt.dir):
             try:
                 runner.train_state, meta = load_checkpoint(
@@ -135,22 +169,29 @@ class CheckpointHook(Hook):
             "wandb_id": runner.state.get("wandb_id"),
         }
 
+    def _save(self, runner, name: str, meta) -> None:
+        if self._backend(runner) == "orbax":
+            from simseg_tpu.checkpoint.native import save_checkpoint_orbax
+
+            save_checkpoint_orbax(self._orbax(runner), runner.step,
+                                  runner.train_state, meta)
+        else:
+            save_checkpoint(runner.cfg.ckpt.dir, name, runner.train_state, meta)
+
     def after_train_step(self, runner) -> None:
         interval = runner.cfg.ckpt.step_interval
         if interval > 0 and self.every_n_steps(runner, interval):
-            save_checkpoint(
-                runner.cfg.ckpt.dir, runner.cfg.ckpt.filename,
-                runner.train_state, self._meta(runner),
-            )
+            self._save(runner, runner.cfg.ckpt.filename, self._meta(runner))
 
     def after_train_epoch(self, runner) -> None:
         meta = self._meta(runner)
         meta["epoch"] = runner.epoch + 1
         meta["inner_step"] = 0
-        save_checkpoint(
-            runner.cfg.ckpt.dir, f"epoch_{runner.epoch + 1:03d}",
-            runner.train_state, meta,
-        )
+        self._save(runner, f"epoch_{runner.epoch + 1:03d}", meta)
+
+    def after_run(self, runner) -> None:
+        if self._backend(runner) == "orbax" and hasattr(self, "_mgr"):
+            self._mgr.wait_until_finished()
 
 
 class RetrievalEvalHook(Hook):

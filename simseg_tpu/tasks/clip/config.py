@@ -32,6 +32,7 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.ckpt.only_load_text_encoder = False
     cfg.ckpt.soft_resume = False
     cfg.ckpt.auto_resume = True
+    cfg.ckpt.backend = "msgpack"  # msgpack | orbax (multihost/async)
 
     cfg.log.interval_train = 1
     cfg.log.interval_val = 1

@@ -141,3 +141,26 @@ def test_checkpoint_roundtrip(tmp_path):
     restored, meta = load_checkpoint(str(tmp_path), state)
     assert meta["epoch"] == 5 and meta["step"] == 99
     np.testing.assert_array_equal(np.asarray(restored.params["w"]), params["w"])
+
+
+def test_runner_orbax_backend(toy_cfg):
+    """cfg.ckpt.backend=orbax: checkpoints + auto-resume via Orbax."""
+    cfg, tmp_path = toy_cfg
+    cfg.set_immutable(False)
+    cfg.ckpt.backend = "orbax"
+    cfg.ckpt.dir = str(tmp_path / "out_orbax")
+    cfg.epoch = 1
+    cfg.set_immutable(True)
+    tok = WordPieceTokenizer(make_test_vocab(["a", "photo", "of", "the",
+                                              "dog", "cat", "car", "tree"]))
+    loaders = build_clip_dataloaders(cfg, tokenizer=tok)
+    r1 = CLIPRunner(cfg, tiny_model(), loaders)
+    r1.run()
+
+    r2 = CLIPRunner(cfg, tiny_model(), loaders)
+    r2.call_hook("before_run")
+    assert r2.epoch == 1 and r2.step == r1.step
+    a = jax.tree.leaves(r1.train_state.params)
+    b = jax.tree.leaves(r2.train_state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
