@@ -29,7 +29,15 @@ class LinearProbModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self) -> None:
-        self.image_encoder = build_vit(self.image_tag, self.img_size, self.dtype)
+        if "vit" in self.image_tag:
+            self.image_encoder = build_vit(self.image_tag, self.img_size,
+                                           self.dtype)
+        else:
+            # CNN path: global_pool='avg' semantics
+            # (parity: linear_prob.py:84-88)
+            from simseg_tpu.models.resnet import build_resnet
+
+            self.image_encoder = build_resnet(self.image_tag, self.dtype)
         self.classifier = nn.Dense(self.num_classes, dtype=self.dtype,
                                    name="classifier")
 
@@ -38,6 +46,8 @@ class LinearProbModel(nn.Module):
         feats = self.image_encoder(images, deterministic)
         if not self.encoder_trainable:
             feats = jax.lax.stop_gradient(feats)
+        if feats.ndim == 4:  # CNN map -> global average pool
+            return jnp.mean(feats, axis=(1, 2))
         if self.only_cls_token:
             feats = feats[:, 0]
         else:

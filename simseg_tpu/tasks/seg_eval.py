@@ -220,25 +220,41 @@ def evaluate_benchmark(loader, model, params, cfg, tokenizer,
 
     from simseg_tpu.models.vit import VIT_CONFIGS
 
-    patch_size = VIT_CONFIGS[model.image_tag]["patch_size"]
+    if model.image_tag in VIT_CONFIGS:
+        patch_size = VIT_CONFIGS[model.image_tag]["patch_size"]
+    else:
+        patch_size = 32  # CNN backbones: total stride of the feature map
     forward = make_seg_forward(model, cfg, num_classes, top_cls_num, canvas,
                                patch_size=patch_size)
 
     total_i = np.zeros((num_classes,), np.float64)
     total_u = np.zeros((num_classes,), np.float64)
     count = 0
+    full_batch = getattr(loader, "batch_size", None)
     for batch in loader:
         images = batch["image"]  # uint8 (B, S, S, 3)
         labels = batch["mask_label"]  # (B, H, W), 255-padded if sizes varied
         b = images.shape[0]
         gt_h = np.asarray(batch.get("mask_h", [labels.shape[1]] * b), np.int32)
         gt_w = np.asarray(batch.get("mask_w", [labels.shape[2]] * b), np.int32)
+        if full_batch and b < full_batch:
+            # pad the ragged final batch to the compiled shape; padded rows
+            # carry all-255 labels so they contribute nothing
+            pad = full_batch - b
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+            )
+            labels = np.concatenate(
+                [labels, np.full((pad,) + labels.shape[1:], 255, labels.dtype)]
+            )
+            gt_h = np.concatenate([gt_h, np.ones(pad, np.int32)])
+            gt_w = np.concatenate([gt_w, np.ones(pad, np.int32)])
         if labels.shape[1] > canvas or labels.shape[2] > canvas:
             raise ValueError(
                 f"GT size {labels.shape[1:]} exceeds the {canvas} canvas for "
                 f"{dataset_name}; raise GT_CANVAS"
             )
-        padded = np.full((b, canvas, canvas), 255, np.int32)
+        padded = np.full((labels.shape[0], canvas, canvas), 255, np.int32)
         padded[:, :labels.shape[1], :labels.shape[2]] = labels
         inter, union = forward(
             params, jnp.asarray(images), text_bank, jnp.asarray(padded),

@@ -105,6 +105,19 @@ def test_evaluate_benchmark_runs(voc_fixture):
     )
     assert miou == pytest.approx(miou2, rel=1e-6)
 
+    # ragged final batch is padded to the compiled shape (2 images, batch 4)
+    cfg.set_immutable(False)
+    cfg.data.batch_size_val = 4
+    loader3 = build_seg_valid_loader(cfg, "pascal_voc")
+    iou3, miou3 = evaluate_benchmark(
+        loader3, model, params, cfg,
+        tok, ["background", "dog", "cat", "bird"], top_cls_num=3,
+        dataset_name="pascal_voc",
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(iou), np.nan_to_num(iou3), rtol=1e-6
+    )
+
 
 def test_label_banks_present():
     for name, expect in [("pascal_voc", 21), ("pascal_context", 60),
