@@ -97,8 +97,13 @@ class EpochRunner(BaseRunner):
         self._rng = rng or jax.random.key(cfg.seed or 0)
         if params is None:
             params = self._init_params(self._rng)
-        tx, set_lr = build_optimizer(cfg, params,
-                                     frozen_patterns=self.frozen_patterns())
+        frozen = tuple(self.frozen_patterns())
+        if isinstance(params, dict) and "batch_stats" in params:
+            # BN running statistics are state, not parameters — never let the
+            # optimizer touch them (they receive nonzero grads because the
+            # forward reads them; reference parity: freeze_cnn_bn mode)
+            frozen = frozen + (r"^batch_stats/",)
+        tx, set_lr = build_optimizer(cfg, params, frozen_patterns=frozen)
         self.tx = tx
         self._set_lr = set_lr
         self.train_state = TrainState.create(params, tx)

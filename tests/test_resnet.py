@@ -77,3 +77,48 @@ def test_clip_cnn_path_shapes():
     feats = model.apply(variables, batch, embeddings="image")
     # tiny 2-stage net: total stride 8 -> 8x8 = 64 spatial tokens of 64 ch
     assert feats.shape == (2, 64, 64)
+
+
+def test_cnn_training_freezes_batch_stats():
+    """The optimizer must never update BN running statistics (they appear in
+    the forward, so they'd otherwise receive gradients)."""
+    from simseg_tpu.config import new_base_cfg, update_cfg
+    from simseg_tpu.core.runner import CLIPRunner
+    from simseg_tpu.tasks.clip.config import task_cfg_init_fn
+
+    cfg = update_cfg(task_cfg_init_fn, None, argv=[
+        "dist.bf16=false",
+        "model.max_length=12",
+        "transforms.input_size=64",
+        "optim.lr.name=constant_schedule",
+        "optim.lr.init=0.01",
+        "data.batch_size=8",
+    ], target=new_base_cfg())
+
+    model = CLIPModel(
+        image_tag="resnet_test", img_size=64, text_tag="bert_test",
+        projection_name="simple", projection_dim=16, pool_name="avg",
+        image_k=3, text_k=1, temperature_name="parameter",
+        temperature_init=0.02,
+    )
+    runner = CLIPRunner(cfg, model, {"train": [], "val": []})
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(8, 64, 64, 3)).astype(np.float32),
+        "input_ids": rng.integers(0, 128, (8, 12)).astype(np.int32),
+        "attention_mask": np.ones((8, 12), np.int32),
+    }
+    before = jax.device_get(runner.train_state.params["batch_stats"])
+    before_kernel = np.asarray(
+        runner.train_state.params["params"]["image_encoder"]["conv1"]["kernel"]
+    )
+    for _ in range(2):
+        runner.outputs = runner.batch_processor(batch)
+    after = jax.device_get(runner.train_state.params["batch_stats"])
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # while real parameters did move
+    after_kernel = np.asarray(
+        runner.train_state.params["params"]["image_encoder"]["conv1"]["kernel"]
+    )
+    assert not np.allclose(before_kernel, after_kernel)
