@@ -42,10 +42,14 @@ def load_label_bank(name: str, data_root: str = "data") -> List[str]:
 
 def zero_shot_classifier(model, params, classnames: Sequence[str], tokenizer,
                          max_length: int = 25, prompt_chunk: int = 80) -> np.ndarray:
-    """(C, D) L2-normalized class embeddings (parity: :57-75)."""
+    """(C, D) L2-normalized class embeddings (parity: :57-75).
+
+    params must be an explicit jit argument — closing over them would bake
+    hundreds of MB of weights into the HLO as constants.
+    """
 
     @jax.jit
-    def embed(input_ids, attention_mask):
+    def embed(params, input_ids, attention_mask):
         feats = model.apply(
             params, input_ids, attention_mask,
             method=lambda m, i, a: m.forward_text_feature(i, a),
@@ -63,6 +67,7 @@ def zero_shot_classifier(model, params, classnames: Sequence[str], tokenizer,
         enc = tokenizer(texts, padding="max_length", truncation=True,
                         max_length=max_length)
         out.append(np.asarray(embed(
+            params,
             jnp.asarray(enc["input_ids"], jnp.int32),
             jnp.asarray(enc["attention_mask"], jnp.int32),
         )))
