@@ -52,7 +52,9 @@ def first_match_ranks(
     r_gid = jnp.asarray(right.group_idx)
 
     @jax.jit
-    def ranks_of(l_chunk, l_gid_chunk):
+    def ranks_of(l_chunk, l_gid_chunk, r_emb, r_gid):
+        # r_emb/r_gid are explicit args (a closure would bake the whole
+        # gallery into the compiled program as constants)
         sim = jnp.dot(l_chunk, r_emb.T, preferred_element_type=jnp.float32)
         match = l_gid_chunk[:, None] == r_gid[None, :]
         # best similarity among matching rights
@@ -70,7 +72,8 @@ def first_match_ranks(
     for start in range(0, left.emb.shape[0], batch):
         out.append(
             np.asarray(
-                ranks_of(l_emb[start:start + batch], l_gid[start:start + batch])
+                ranks_of(l_emb[start:start + batch],
+                         l_gid[start:start + batch], r_emb, r_gid)
             )
         )
     return np.concatenate(out)
