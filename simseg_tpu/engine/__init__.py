@@ -4,6 +4,7 @@ from simseg_tpu.engine.train_step import (
     clip_loss_fn,
     make_eval_step,
     make_train_step,
+    opt_state_sharding,
 )
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "make_train_step",
     "make_bsgs_grad_fn",
     "make_bsgs_train_step",
+    "opt_state_sharding",
 ]
