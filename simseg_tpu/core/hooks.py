@@ -89,7 +89,9 @@ class Hook:
 
     @staticmethod
     def every_n_steps(runner, n: int) -> bool:
-        return (runner.step + 1) % n == 0 if n > 0 else False
+        # runner.step is incremented before after-step hooks fire, so it is
+        # the count of completed steps at hook time
+        return runner.step % n == 0 if n > 0 else False
 
     @staticmethod
     def every_n_inner_steps(runner, n: int) -> bool:

@@ -200,15 +200,21 @@ class EpochRunner(BaseRunner):
         start_inner = self.inner_step  # mid-epoch resume (clip_runner.py:267-278)
         self.inner_step = 0
         for i, batch in enumerate(self._train_batch_iter()):
+            if i >= self.train_steps:
+                # run exactly train_steps steps when data.train_steps caps a
+                # longer loader (parity: epoch_runner.py:77-108)
+                break
             if i < start_inner:
                 continue
-            if self.inner_step >= self.train_steps:
-                break
             self.inner_step = i
             self.call_hook("_before_train_step")
             self.outputs = self.batch_processor(batch)
-            self.call_hook("_after_train_step")
+            # increment before after-step hooks so checkpoints record the
+            # count of completed steps (parity: reference gen_checkpoint
+            # saves step+1, core/hooks/checkpoint.py:26) — resume then
+            # continues the LR schedule instead of replaying one step
             self.step += 1
+            self.call_hook("_after_train_step")
             if (
                 self.val_interval_steps > 0
                 and self.step % self.val_interval_steps == 0

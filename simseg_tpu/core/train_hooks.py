@@ -258,7 +258,7 @@ class ProfileHook(Hook):
             logger.emph(f"Profiler trace started -> {trace_dir}")
 
     def after_train_step(self, runner) -> None:
-        if self._active and runner.step + 1 >= self._stop_at:
+        if self._active and runner.step >= self._stop_at:
             import jax
 
             jax.block_until_ready(runner.outputs.get("loss"))

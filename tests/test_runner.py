@@ -112,6 +112,87 @@ def test_runner_auto_resume(toy_cfg):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_train_steps_cap_runs_exactly_train_steps(toy_cfg):
+    """Regression (round-1 VERDICT Weak #1): when data.train_steps caps a
+    longer loader the runner must execute exactly train_steps steps per
+    epoch — not train_steps+1 — so LR horizons and step-interval
+    checkpoints stay correct (parity: epoch_runner.py:77-108)."""
+    cfg, tmp_path = toy_cfg
+    cfg.set_immutable(False)
+    cfg.data.batch_size = 8      # 32 samples -> 4 batches/epoch
+    cfg.data.train_steps = 2     # cap below loader length
+    cfg.ckpt.dir = str(tmp_path / "out_cap")
+    cfg.set_immutable(True)
+    tok = WordPieceTokenizer(make_test_vocab(["a", "photo", "of", "the",
+                                              "dog", "cat", "car", "tree"]))
+    loaders = build_clip_dataloaders(cfg, tokenizer=tok)
+    runner = CLIPRunner(cfg, tiny_model(), loaders)
+    assert runner.train_steps == 2
+    assert runner.total_steps == 4  # LR schedule horizon: 2 steps x 2 epochs
+
+    processed = []
+    orig = runner.batch_processor
+
+    def counting(batch):
+        processed.append(runner.inner_step)
+        return orig(batch)
+
+    runner.batch_processor = counting
+    runner.run()
+    assert runner.step == 4
+    assert processed == [0, 1, 0, 1]
+
+
+def test_mid_epoch_resume_with_train_steps_cap(toy_cfg):
+    """Interrupt mid-epoch under a train_steps cap; auto-resume must skip
+    exactly the completed batches and finish with exact global step counts
+    (no LR-step replay)."""
+    from simseg_tpu.core.hooks import Hook, Priority
+
+    cfg, tmp_path = toy_cfg
+    cfg.set_immutable(False)
+    cfg.data.batch_size = 8
+    cfg.data.train_steps = 3     # 4 batches available, cap at 3
+    cfg.ckpt.dir = str(tmp_path / "out_resume_cap")
+    cfg.ckpt.step_interval = 1   # save every step
+    cfg.set_immutable(True)
+    tok = WordPieceTokenizer(make_test_vocab(["a", "photo", "of", "the",
+                                              "dog", "cat", "car", "tree"]))
+    loaders = build_clip_dataloaders(cfg, tokenizer=tok)
+
+    class StopAfter(Hook):
+        def __init__(self, n):
+            self.n = n
+
+        def after_train_step(self, runner):
+            if runner.step >= self.n:
+                raise KeyboardInterrupt
+
+    r1 = CLIPRunner(cfg, tiny_model(), loaders)
+    # LOWEST so CheckpointHook saves step 2 before the interrupt fires
+    r1.register_hook(StopAfter(2), Priority.LOWEST)
+    with pytest.raises(KeyboardInterrupt):
+        r1.run()
+    assert r1.step == 2
+
+    r2 = CLIPRunner(cfg, tiny_model(), loaders)
+    processed = []
+    orig = r2.batch_processor
+
+    def counting(batch):
+        processed.append((r2.epoch, r2.inner_step, r2.step))
+        return orig(batch)
+
+    r2.batch_processor = counting
+    r2.run()
+    # resumed at epoch 0 inner 2 global-step 2; finishes 3 steps x 2 epochs
+    assert r2.step == 6
+    assert processed == [
+        (0, 2, 2),
+        (1, 0, 3), (1, 1, 4), (1, 2, 5),
+    ]
+
+
 def test_bsgs_runner_end_to_end(toy_cfg):
     """cfg.runner.name=clip_bsgs drives the two-pass micro-batched step
     through the same runner surface (parity: clip_bsgs_runner.py)."""
