@@ -4,22 +4,47 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline anchor: the PyTorch reference runs DenseCRF (pydensecrf, CPU) +
-OpenCV morphology per candidate class per image on the host
-(tools/seg_evaluation.py:153-161); with 3 mean-field iterations at 288^2 and
-up to 4 refined classes per image this bounds the reference to roughly
-8 img/s per accelerator regardless of GPU speed (the CRF dominates; see
-BASELINE.md — the repo publishes no throughput numbers, so this is the
-documented estimate the >=5x target is measured against).
+OpenCV morphology per candidate class per image serially on the host
+(tools/seg_evaluation.py:153-161), which bounds its throughput regardless
+of GPU speed. The denominator is MEASURED by tools/measure_baseline.py: a
+native C++ re-derivation of the reference's mean-field CRF (same params,
+same splat-blur-slice approximation family as pydensecrf's permutohedral
+lattice, validated 100% against the exact O(N^2) mean-field) plus the real
+cv2 morphology/resize calls, at 288^2, assuming the MINIMUM 1 refined class
+per image (the reference caps at 5) — i.e. an upper bound on the
+reference's img/s, making vs_baseline conservative. bench.py re-measures
+on the current host when a C++ toolchain is present, else uses the figure
+recorded in BASELINE.md (21.1 img/s, measured 2026-08-16).
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_IMAGES_PER_SEC = 8.0  # torch reference estimate (CPU-CRF-bound)
+# measured fallback (tools/measure_baseline.py on the round-2 bench host)
+REFERENCE_IMAGES_PER_SEC_MEASURED = 21.1
+
+
+def reference_rate() -> float:
+    """Re-measure the reference's host-decode bound on this machine;
+    fall back to the recorded measurement."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from measure_baseline import build_native, measure
+
+        crf = build_native()
+        if crf is None:
+            return REFERENCE_IMAGES_PER_SEC_MEASURED
+        out = measure(trials=5, crf=crf)
+        return float(out["reference_img_per_sec_at_1_class"])
+    except Exception:
+        return REFERENCE_IMAGES_PER_SEC_MEASURED
 
 
 def main() -> None:
@@ -110,13 +135,14 @@ def main() -> None:
         if have_decode
         else "seg_backbone_images_per_sec_vitb288"
     )
+    baseline = reference_rate()
     print(
         json.dumps(
             {
                 "metric": metric,
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
+                "vs_baseline": round(images_per_sec / baseline, 2),
             }
         )
     )

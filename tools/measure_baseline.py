@@ -1,0 +1,266 @@
+"""Measure the PyTorch reference's host-side per-image decode cost.
+
+The reference's zero-shot seg decode (reference tools/seg_evaluation.py:
+131-163) runs, per candidate class per image, ON THE HOST CPU:
+
+  1. dense_crf: pydensecrf DenseCRF2D, 2 labels, 3 mean-field iterations,
+     Gaussian pairwise (sxy=3, compat=3) + bilateral pairwise
+     (sxy=40, srgb=13, compat=10)             (seg_evaluation.py:31-54, 153)
+  2. cv2.dilate + cv2.erode with a 7x7 kernel  (seg_evaluation.py:156-159)
+  3. cv2.resize nearest to the GT size          (seg_evaluation.py:161)
+
+This host loop is serial per image (batch_size_val=1) and bounds the
+reference pipeline's throughput regardless of how fast its GPU forward is.
+pydensecrf is not installable in this environment, so the CRF is re-derived
+here with the same algorithmic structure and cost family pydensecrf uses:
+approximate high-dimensional Gaussian filtering by splat -> blur -> slice
+(pydensecrf uses a permutohedral simplex lattice; this uses a regular
+bilateral grid, which does strictly LESS work per point: nearest splat/slice
+instead of d+1-vertex barycentric interpolation). The measured time is
+therefore a LOWER bound on the reference's per-class CRF cost, i.e. the
+derived baseline img/s is an UPPER bound on the reference's throughput —
+generous to the reference.
+
+Correctness of the stand-in is cross-checked against the exact O(N^2)
+mean-field (tests/test_crf_morphology.py:np_dense_crf) at small sizes.
+
+Prints a JSON summary; BASELINE.md records the measured figures and
+bench.py uses the derived img/s as its vs_baseline denominator.
+"""
+
+import ctypes
+import json
+import os
+import subprocess
+import time
+
+import cv2
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def build_native():
+    """Compile tools/native/ref_decode.cc (g++ -O3) and load via ctypes.
+    Returns a callable dense_crf(img_u8, probs) -> (h, w) int labels, or
+    None when no C++ toolchain is available."""
+    src = os.path.join(_HERE, "native", "ref_decode.cc")
+    so = os.path.join(_HERE, "native", "libref_decode.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", so, src],
+                check=True, capture_output=True,
+            )
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    lib = ctypes.CDLL(so)
+    lib.dense_crf_binary.restype = ctypes.c_int
+    lib.dense_crf_binary.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_int32),
+    ]
+
+    def crf(img_u8, probs, iters=3, g_sxy=3.0, g_compat=3.0, b_sxy=40.0,
+            b_srgb=13.0, b_compat=10.0):
+        h, w = probs.shape
+        img = np.ascontiguousarray(img_u8, dtype=np.uint8)
+        p = np.ascontiguousarray(probs, dtype=np.float32)
+        out = np.empty((h, w), np.int32)
+        rc = lib.dense_crf_binary(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h, w, iters, g_sxy, g_compat, b_sxy, b_srgb, b_compat,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"dense_crf_binary rc={rc}")
+        return out
+
+    return crf
+
+
+def _softmax0(x):
+    e = np.exp(x - x.max(0, keepdims=True))
+    return e / e.sum(0, keepdims=True)
+
+
+def bilateral_grid_filter(q, feat_idx, grid_shape):
+    """Splat-blur-slice approximate bilateral filtering of q (L, N).
+
+    feat_idx: (N,) raveled 5-D grid cell per pixel. Blur = 1-2-1 binomial
+    per grid axis (what the permutohedral lattice uses).
+    """
+    n_cells = int(np.prod(grid_shape))
+    l = q.shape[0]
+    grid = np.zeros((l, n_cells), q.dtype)
+    ones = np.zeros((n_cells,), q.dtype)
+    for c in range(l):
+        np.add.at(grid[c], feat_idx, q[c])
+    np.add.at(ones, feat_idx, 1.0)
+
+    grid = grid.reshape((l,) + grid_shape)
+    ones = ones.reshape(grid_shape)
+    for axis in range(len(grid_shape)):
+        k = np.array([1.0, 2.0, 1.0]) / 4.0
+        grid = _conv_along(grid, k, axis + 1)
+        ones = _conv_along(ones[None], k, axis + 1)[0]
+    # slice + kernel normalization (pydensecrf normalizes by the filtered
+    # all-ones signal)
+    flat = grid.reshape(l, n_cells)
+    norm = np.maximum(ones.reshape(n_cells), 1e-12)
+    return flat[:, feat_idx] / norm[feat_idx]
+
+
+def _conv_along(x, k, axis):
+    x = np.moveaxis(x, axis, -1)
+    pad = [(0, 0)] * (x.ndim - 1) + [(1, 1)]
+    xp = np.pad(x, pad, mode="edge")
+    out = k[0] * xp[..., :-2] + k[1] * xp[..., 1:-1] + k[2] * xp[..., 2:]
+    return np.moveaxis(out, -1, axis)
+
+
+def make_bilateral_index(img_u8, sxy, srgb):
+    h, w = img_u8.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w]
+    gy = (yy / sxy).astype(np.int32).ravel()
+    gx = (xx / sxy).astype(np.int32).ravel()
+    rgb = (img_u8.reshape(-1, 3) / srgb).astype(np.int32)
+    dims = (
+        gy.max() + 1, gx.max() + 1,
+        rgb[:, 0].max() + 1, rgb[:, 1].max() + 1, rgb[:, 2].max() + 1,
+    )
+    idx = np.ravel_multi_index(
+        (gy, gx, rgb[:, 0], rgb[:, 1], rgb[:, 2]), dims
+    )
+    return idx, dims
+
+
+def dense_crf_fast(img_u8, probs, iters=3, g_sxy=3.0, g_compat=3.0,
+                   b_sxy=40.0, b_srgb=13.0, b_compat=10.0):
+    """CPU mean-field dense CRF with the reference's parameters
+    (seg_evaluation.py:48-52): Gaussian term via separable filtering,
+    bilateral term via bilateral grid."""
+    h, w = probs.shape
+    u = -np.log(np.stack([1.0 - probs, probs], 0) + 1e-8)
+    q = _softmax0(-u)
+
+    feat_idx, dims = make_bilateral_index(img_u8, b_sxy, b_srgb)
+    for _ in range(iters):
+        mg = gaussian_filter(q, sigma=(0, g_sxy, g_sxy), mode="constant")
+        mb = bilateral_grid_filter(q.reshape(2, -1), feat_idx, dims)
+        q = _softmax0(-u + g_compat * mg + b_compat * mb.reshape(2, h, w))
+    return np.argmax(q, 0)
+
+
+def np_dense_crf_exact(probs, rgb, iters=3, g_sxy=3.0, g_compat=3.0,
+                       b_sxy=40.0, b_srgb=13.0, b_compat=10.0):
+    """Exact brute-force mean-field (ground truth at small sizes)."""
+    h, w = probs.shape
+    n = h * w
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    pos = np.stack([yy.ravel(), xx.ravel()], 1)
+
+    def kernel(feat):
+        d2 = ((feat[:, None, :] - feat[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2)
+
+    kg = kernel(pos / g_sxy)
+    fb = np.concatenate([pos / b_sxy, rgb.reshape(n, 3) / b_srgb], 1)
+    kb = kernel(fb)
+    p = probs.reshape(n)
+    u = -np.log(np.stack([1 - p, p], 0) + 1e-8)
+    q = _softmax0(-u)
+    for _ in range(iters):
+        mg = kg @ q.T / kg.sum(1, keepdims=True)
+        mb = kb @ q.T / kb.sum(1, keepdims=True)
+        q = _softmax0(-u + g_compat * mg.T + b_compat * mb.T)
+    return np.argmax(q, 0).reshape(h, w)
+
+
+def crosscheck(seed=0, size=24, crf=dense_crf_fast):
+    """Stand-in vs exact mean-field argmax agreement at small size."""
+    rng = np.random.default_rng(seed)
+    h = w = size
+    rgb = np.zeros((h, w, 3), np.float64)
+    rgb[:, : w // 2] = [200, 30, 40]
+    rgb[:, w // 2:] = [20, 180, 220]
+    rgb += rng.normal(0, 5, rgb.shape)
+    rgb = np.clip(rgb, 0, 255)
+    probs = np.clip(
+        0.5 + 0.35 * np.where(np.arange(w) < w // 2, 1.0, -1.0)[None, :]
+        + rng.normal(0, 0.15, (h, w)),
+        0.01, 0.99,
+    )
+    want = np_dense_crf_exact(probs, rgb)
+    got = crf(rgb.astype(np.uint8), probs)
+    return float((got == want).mean())
+
+
+def measure(size=288, trials=10, raw_hw=(375, 500), crf=dense_crf_fast):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (size, size, 3)).astype(np.uint8)
+    # realistic soft mask: smooth blob + noise, min-max normalized like the
+    # reference (seg_evaluation.py:149-150)
+    yy, xx = np.mgrid[0:size, 0:size]
+    blob = np.exp(-(((yy - size / 2) ** 2 + (xx - size / 2) ** 2)
+                    / (2 * (size / 4) ** 2)))
+    probs = blob + 0.1 * rng.standard_normal((size, size))
+    probs = (probs - probs.min()) / (probs.max() - probs.min())
+    probs = np.clip(probs, 0.01, 0.99)
+
+    # warm up
+    crf(img, probs)
+    t_crf = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        crf(img, probs)
+        t_crf.append(time.perf_counter() - t0)
+
+    mask = (probs > 0.5).astype(np.uint8) * 255
+    kernel = np.ones((7, 7), np.uint8)
+    t_morph = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        d = cv2.dilate(mask, kernel, 5)
+        e = cv2.erode(d, kernel, 3)
+        cv2.resize(e, dsize=(raw_hw[1], raw_hw[0]),
+                   interpolation=cv2.INTER_NEAREST)
+        t_morph.append(time.perf_counter() - t0)
+
+    crf_ms = float(np.median(t_crf) * 1e3)
+    morph_ms = float(np.median(t_morph) * 1e3)
+    per_class_ms = crf_ms + morph_ms
+    return {
+        "crf_ms_per_class": round(crf_ms, 2),
+        "morphology_ms_per_class": round(morph_ms, 3),
+        "decode_ms_per_class": round(per_class_ms, 2),
+        # >= 1 refined class/image minimum; the reference caps at 5
+        "reference_img_per_sec_at_1_class": round(1e3 / per_class_ms, 2),
+        "reference_img_per_sec_at_2_classes": round(1e3 / (2 * per_class_ms), 2),
+        "reference_img_per_sec_at_5_classes": round(1e3 / (5 * per_class_ms), 2),
+    }
+
+
+def main():
+    native = build_native()
+    crf = native if native is not None else dense_crf_fast
+    out = measure(crf=crf)
+    out["implementation"] = "native-cxx" if native is not None else "numpy"
+    out["crosscheck_agreement_vs_exact_meanfield_24px"] = crosscheck(crf=crf)
+    if native is not None:
+        # native and numpy derivations must agree with each other too
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)
+        p = np.clip(rng.random((48, 48)), 0.01, 0.99)
+        agree = float((native(img, p) == dense_crf_fast(img, p)).mean())
+        out["native_vs_numpy_agreement_48px"] = agree
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
