@@ -107,6 +107,15 @@ class EpochRunner(BaseRunner):
         self.tx = tx
         self._set_lr = set_lr
         self.train_state = TrainState.create(params, tx)
+        # commit the initial state to the mesh (replicated) so the first
+        # step's input avals carry the same sharding as the step's output;
+        # otherwise the jit cache misses after step 0 and the train step
+        # compiles TWICE (20-90s each on TPU)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self.train_state = jax.device_put(
+            self.train_state, NamedSharding(self.mesh, PartitionSpec())
+        )
         self.lr_schedule = build_schedule(cfg, self.total_steps)
 
         self._norm_mean = tuple(cfg.transforms.normalize.mean)
@@ -277,6 +286,9 @@ class CLIPRunner(EpochRunner):
             self._step_fn = make_bsgs_train_step(
                 self.model, self.tx, self._set_lr, num_micro=num_micro,
                 mesh=self.mesh, smoothing=smoothing,
+                group_size=(group_size if group_size and group_size > 0 else -1),
+                mixup=cfg.loss.get("name", "NCE") == "MixUpNCE",
+                mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
             )
         else:
             self._step_fn = make_train_step(
@@ -287,6 +299,7 @@ class CLIPRunner(EpochRunner):
                 mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
                 triplet_margin=cfg.loss.get("triplet_loss", {}).get("margin", 0.2),
                 triplet_reduce=cfg.loss.get("triplet_loss", {}).get("reduce_mode", "max"),
+                extra_losses=tuple(cfg.loss.get("extra_losses", []) or ()),
             )
         self._eval_fn = make_eval_step(self.model, self.mesh)
 

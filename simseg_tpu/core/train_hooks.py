@@ -33,7 +33,6 @@ from simseg_tpu.utils.retrieval import retrieval_summary
 
 
 class LogHook(Hook):
-    _METRIC_KEYS = ("loss", "i2t_acc", "t2i_acc", "temperature", "grad_norm", "lr")
 
     def before_run(self, runner) -> None:
         self._t0 = time.time()
@@ -47,20 +46,26 @@ class LogHook(Hook):
         interval = runner.cfg.log.interval_train
         if not self.every_n_inner_steps(runner, interval):
             return
-        # materialize device metrics only at log cadence
-        metrics = {
-            k: float(v) for k, v in jax.device_get(runner.outputs).items()
-            if k in self._METRIC_KEYS
-        }
+        # materialize device metrics only at log cadence; print every scalar
+        # the step emits (parity: reference LogHook prints the whole
+        # batch_output dict, core/hooks/log.py:97-109)
+        metrics = {}
+        for k, v in sorted(jax.device_get(runner.outputs).items()):
+            try:
+                metrics[k] = float(v)
+            except (TypeError, ValueError):
+                continue
         for k, v in metrics.items():
             runner.state.log_metrics.add_store(k, v)
+        # samples accumulated since the last log, over wall time since the
+        # last log — the interval-average throughput a user should quote
         rate = runner.state.log_metrics.pop_counter_rate("samples")
         kv = " ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
         logger.info(
             f"Epoch [{runner.epoch + 1}/{runner.max_epochs}]"
             f"[{runner.inner_step + 1}/{runner.train_steps}] {kv} "
             f"step_time: {np.mean(self._step_times[-interval:]):.3f}s "
-            f"({rate * interval / max(len(self._step_times[-interval:]), 1):.1f} img/s)"
+            f"({rate:.1f} img/s)"
         )
 
     def after_train_epoch(self, runner) -> None:

@@ -23,7 +23,12 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from simseg_tpu.ops.losses import mixup_nce, symmetric_info_nce, triplet_loss
+from simseg_tpu.ops.losses import (
+    mixup_nce,
+    mse_embedding_loss,
+    symmetric_info_nce,
+    triplet_loss,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -72,9 +77,14 @@ def clip_loss_fn(
     mixup_alpha_param: float = 0.2,
     triplet_margin: float = 0.2,
     triplet_reduce: str = "max",
+    extra_losses: Tuple[str, ...] = (),
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Forward + contrastive loss (parity: pipelines/clip.py:123-176
-    forward_loss, dispatching on cfg.loss.name like the LOSS registry)."""
+    forward_loss, dispatching on cfg.loss.name like the LOSS registry;
+    cfg.loss.extra_losses adds further loss terms on the same embeddings —
+    note the reference builds extra_losses modules but never invokes them
+    (pipelines/linear_prob.py:25-30 with no forward call); here they
+    contribute additively and are logged as <name>_loss)."""
     rngs = {"dropout": rng} if rng is not None else None
 
     if loss_name == "MixUpNCE":
@@ -94,14 +104,29 @@ def clip_loss_fn(
     img = img.astype(jnp.float32)
     txt = txt.astype(jnp.float32)
 
-    if loss_name == "NCE":
-        loss, accs = symmetric_info_nce(
-            img, txt, temp,
-            ignore_mask=batch.get("ignore_mask"),
-            smoothing=smoothing,
-            group_size=group_size,
-        )
-    elif loss_name == "MixUpNCE":
+    def compute(name):
+        if name == "NCE":
+            return symmetric_info_nce(
+                img, txt, temp,
+                ignore_mask=batch.get("ignore_mask"),
+                smoothing=smoothing,
+                group_size=group_size,
+            )
+        if name == "MSE":
+            # symmetric like forward_loss's global_reduce branch
+            # (pipelines/clip.py:129-141); see mse_embedding_loss docstring
+            i2t, i2t_acc = mse_embedding_loss(
+                img, txt, ignore_mask=batch.get("ignore_mask"))
+            t2i, t2i_acc = mse_embedding_loss(
+                txt, img, ignore_mask=batch.get("ignore_mask"))
+            return 0.5 * (i2t + t2i), {"i2t_acc": i2t_acc, "t2i_acc": t2i_acc}
+        if name == "Triplet":
+            l, i2t_acc, t2i_acc = triplet_loss(img, txt, triplet_margin,
+                                               triplet_reduce)
+            return l, {"i2t_acc": i2t_acc, "t2i_acc": t2i_acc}
+        raise NotImplementedError(f"loss '{name}'")
+
+    if loss_name == "MixUpNCE":
         n = img.shape[0]
         i2t, i2t_acc = mixup_nce(img, txt, temp, lam, flip_block=n,
                                  ignore_mask=batch.get("ignore_mask"),
@@ -111,14 +136,15 @@ def clip_loss_fn(
                                  smoothing=smoothing)
         loss = 0.5 * (i2t + t2i)
         accs = {"i2t_acc": i2t_acc, "t2i_acc": t2i_acc}
-    elif loss_name == "Triplet":
-        loss, i2t_acc, t2i_acc = triplet_loss(img, txt, triplet_margin,
-                                              triplet_reduce)
-        accs = {"i2t_acc": i2t_acc, "t2i_acc": t2i_acc}
     else:
-        raise NotImplementedError(f"loss '{loss_name}'")
+        loss, accs = compute(loss_name)
 
     metrics = {"loss": loss, "temperature": temp, **accs}
+    for name in extra_losses:
+        extra, _ = compute(name)
+        loss = loss + extra
+        metrics[f"{name.lower()}_loss"] = extra
+    metrics["loss"] = loss
     return loss, metrics
 
 

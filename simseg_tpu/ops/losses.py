@@ -158,15 +158,28 @@ def mixup_nce(
 def mse_embedding_loss(
     feat1_sim: jnp.ndarray,
     feat2: jnp.ndarray,
-    feat1: jnp.ndarray,
+    feat1: Optional[jnp.ndarray] = None,
+    ignore_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Embedding-regression loss with a no-grad NCE accuracy probe
-    (parity: mml_loss.py:224-253)."""
-    loss = jnp.mean((feat1_sim - feat2) ** 2)
+    (parity: mml_loss.py:224-253, including the reference's quirk of
+    scaling the scalar MSE by mean(1 - ignore_mask)).
+
+    Note: the reference's MSE.forward takes (feat1_sim, feat2, feat1) but
+    the CLIP pipeline's forward_loss passes only two embeddings
+    (pipelines/clip.py:129-141) — selecting MSE there crashes upstream.
+    Here the two-argument call is the supported surface: feat1 defaults to
+    feat1_sim for the accuracy probe."""
+    if feat1 is None:
+        feat1 = feat1_sim
+    n = feat1.shape[0]
+    w = (jnp.ones((n,), jnp.float32) if ignore_mask is None
+         else 1.0 - ignore_mask.astype(jnp.float32))
+    loss = jnp.mean((feat1_sim - feat2) ** 2) * jnp.mean(w)
     logits = jax.lax.stop_gradient(
         jnp.dot(feat1, feat2.T, preferred_element_type=jnp.float32)
     )
-    acc = _top1_acc(logits, jnp.arange(feat1.shape[0]), None)
+    acc = _top1_acc(logits, jnp.arange(n), (w > 0))
     return loss, acc
 
 

@@ -144,6 +144,10 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.loss.temperature = AttrDict(name="constant", value=0.02)
     cfg.loss.triplet_loss = AttrDict(reduce_mode="max", margin=0.2)
 
+    # single-modality mixup for loss.name=MixUpNCE (the reference samples
+    # alpha inside MixUpNCE, mml_loss.py:146-160; BSGS flips per micro-batch)
+    cfg.mixup = AttrDict(alpha=0.2)
+
 
 def update_clip_config(cfg: AttrDict) -> None:
     """Derived values (parity: tasks/clip/config.py:176-183)."""

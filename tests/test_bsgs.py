@@ -75,6 +75,103 @@ def test_bsgs_deterministic_dropout_reforward():
         assert np.all(np.isfinite(np.asarray(a)))
 
 
+def test_bsgs_with_ignore_mask_matches_direct():
+    """BSGS masked gradients (the D-sandwich left matrices) must equal
+    autodiff of the masked NCE objective — a capability beyond the
+    reference's BSGS (its plain NCE has ignore_mask, BSGS does not)."""
+    model = tiny_clip()
+    batch = _batch(8, seed=10)
+    batch = dict(batch)
+    batch["ignore_mask"] = jnp.asarray(
+        np.array([0, 1, 0, 0, 1, 0, 0, 0], np.float32))
+    params = model.init(jax.random.key(0), batch)
+    direct = jax.grad(
+        lambda p: clip_loss_fn(model, p, batch, None)[0]
+    )(params)
+    grads, metrics = jax.jit(make_bsgs_grad_fn(model, 2))(params, batch)
+    for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    true_loss, _ = clip_loss_fn(model, params, batch, None)
+    assert float(metrics["loss"]) == pytest.approx(float(true_loss), rel=1e-5)
+
+
+def test_bsgs_with_group_size_matches_direct():
+    """Group-limited negatives (the reference's all_gather_group subgroups,
+    clip_bsgs_runner.py:354-356) as block-diagonal analytic gradients."""
+    model = tiny_clip()
+    batch = _batch(8, seed=11)
+    params = model.init(jax.random.key(0), batch)
+    direct = jax.grad(
+        lambda p: clip_loss_fn(model, p, batch, None, group_size=4)[0]
+    )(params)
+    grads, metrics = jax.jit(
+        make_bsgs_grad_fn(model, 2, group_size=4))(params, batch)
+    for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    true_loss, _ = clip_loss_fn(model, params, batch, None, group_size=4)
+    assert float(metrics["loss"]) == pytest.approx(float(true_loss), rel=1e-5)
+
+
+def test_bsgs_with_mixup_matches_direct():
+    """Mixup-aware soft targets (clip_bsgs_runner.py:371-376): images mixed
+    with the reversed pairing within each micro-batch, Y = lam*I +
+    (1-lam)*block_flip. Autodiff target rebuilt with the same convention."""
+    from simseg_tpu.ops.losses import mixup_nce
+
+    model = tiny_clip()
+    num_micro, b = 2, 8
+    mb = b // num_micro
+    batch = _batch(b, seed=12)
+    params = model.init(jax.random.key(0), batch)
+    rng = jax.random.key(13)
+    lam = jax.random.beta(jax.random.fold_in(rng, 1), 0.2, 0.2)
+    lam = float(jnp.maximum(lam, 1.0 - lam))
+
+    def direct_loss(p):
+        img = batch["image"].reshape(num_micro, mb, *batch["image"].shape[1:])
+        flipped = img[:, ::-1].reshape(batch["image"].shape)
+        mixed = dict(batch)
+        mixed["image"] = lam * batch["image"] + (1.0 - lam) * flipped
+        i_emb, t_emb, temp = model.apply(p, mixed, deterministic=True)
+        i_emb = i_emb.astype(jnp.float32)
+        t_emb = t_emb.astype(jnp.float32)
+        i2t, _ = mixup_nce(i_emb, t_emb, temp, lam, flip_block=mb)
+        t2i, _ = mixup_nce(t_emb, i_emb, temp, lam, flip_block=mb)
+        return 0.5 * (i2t + t2i)
+
+    direct = jax.grad(direct_loss)(params)
+    grads, metrics = jax.jit(
+        make_bsgs_grad_fn(model, num_micro, mixup=True,
+                          mixup_alpha_param=0.2)
+    )(params, batch, rng)
+    for a, b_ in zip(jax.tree.leaves(direct), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-5)
+    assert float(metrics["loss"]) == pytest.approx(float(direct_loss(params)),
+                                                   rel=1e-4)
+
+
+def test_bsgs_combined_mask_group_smoothing_matches_direct():
+    model = tiny_clip(temperature_init=0.07)
+    batch = _batch(8, seed=14)
+    batch = dict(batch)
+    batch["ignore_mask"] = jnp.asarray(
+        np.array([0, 0, 1, 0, 0, 0, 0, 1], np.float32))
+    params = model.init(jax.random.key(0), batch)
+    direct = jax.grad(
+        lambda p: clip_loss_fn(model, p, batch, None, smoothing=0.1,
+                               group_size=4)[0]
+    )(params)
+    grads, _ = jax.jit(
+        make_bsgs_grad_fn(model, 2, smoothing=0.1, group_size=4)
+    )(params, batch)
+    for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_bsgs_train_step_on_mesh():
     model = tiny_clip()
     batch = _batch(16, seed=8)
