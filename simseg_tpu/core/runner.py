@@ -300,6 +300,7 @@ class CLIPRunner(EpochRunner):
                 triplet_margin=cfg.loss.get("triplet_loss", {}).get("margin", 0.2),
                 triplet_reduce=cfg.loss.get("triplet_loss", {}).get("reduce_mode", "max"),
                 extra_losses=tuple(cfg.loss.get("extra_losses", []) or ()),
+                bn_training=not cfg.model.get("freeze_cnn_bn", False),
             )
         self._eval_fn = make_eval_step(self.model, self.mesh)
 

@@ -78,6 +78,7 @@ def clip_loss_fn(
     triplet_margin: float = 0.2,
     triplet_reduce: str = "max",
     extra_losses: Tuple[str, ...] = (),
+    bn_training: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Forward + contrastive loss (parity: pipelines/clip.py:123-176
     forward_loss, dispatching on cfg.loss.name like the LOSS registry;
@@ -98,9 +99,21 @@ def clip_loss_fn(
         batch = dict(batch)
         batch["image"] = lam * batch["image"] + (1.0 - lam) * batch["image"][::-1]
 
-    img, txt, temp = model.apply(
-        params, batch, deterministic=rng is None, rngs=rngs
-    )
+    new_stats = None
+    if bn_training and isinstance(params, dict) and "batch_stats" in params:
+        # CNN live-BN training: forward with batch statistics, collect the
+        # mutated running averages for the step to merge back (reference
+        # freeze_cnn_bn=False + SyncBN — the global-batch forward under pjit
+        # IS synchronized BN)
+        (img, txt, temp), upd = model.apply(
+            params, batch, deterministic=rng is None, rngs=rngs,
+            train_bn=True, mutable=["batch_stats"],
+        )
+        new_stats = upd["batch_stats"]
+    else:
+        img, txt, temp = model.apply(
+            params, batch, deterministic=rng is None, rngs=rngs
+        )
     img = img.astype(jnp.float32)
     txt = txt.astype(jnp.float32)
 
@@ -145,6 +158,10 @@ def clip_loss_fn(
         loss = loss + extra
         metrics[f"{name.lower()}_loss"] = extra
     metrics["loss"] = loss
+    if new_stats is not None:
+        # aux channel for the train step (popped before logging); not
+        # differentiated (value_and_grad has_aux)
+        metrics["_new_batch_stats"] = jax.lax.stop_gradient(new_stats)
     return loss, metrics
 
 
@@ -178,10 +195,13 @@ def make_train_step(
                                    loss_name=loss_name, **loss_kwargs),
             has_aux=True,
         )(state.params)
+        metrics = dict(metrics)
+        new_stats = metrics.pop("_new_batch_stats", None)
         opt_state = set_lr(state.opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics)
+        if new_stats is not None:
+            params = {**params, "batch_stats": new_stats}
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["lr"] = lr
         return (

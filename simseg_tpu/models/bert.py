@@ -104,16 +104,80 @@ BERT_CONFIGS = {
         vocab_size=128, hidden_dim=32, depth=2, num_heads=2,
         intermediate_dim=64, max_position=64, type_vocab_size=2,
     ),
+    # standard HF BERT family (huggingface_builder.py:6-23 loads any
+    # AutoModel; these cover the published-config architectures offline,
+    # _hf_config_arch extends to any cached tag, and
+    # model.text_encoder.arch declares arbitrary ones from YAML)
     "bert-base-uncased": dict(
         vocab_size=30522, hidden_dim=768, depth=12, num_heads=12,
+        intermediate_dim=3072, max_position=512, type_vocab_size=2,
+    ),
+    "bert-base-cased": dict(
+        vocab_size=28996, hidden_dim=768, depth=12, num_heads=12,
+        intermediate_dim=3072, max_position=512, type_vocab_size=2,
+    ),
+    "bert-large-uncased": dict(
+        vocab_size=30522, hidden_dim=1024, depth=24, num_heads=16,
+        intermediate_dim=4096, max_position=512, type_vocab_size=2,
+    ),
+    "bert-large-cased": dict(
+        vocab_size=28996, hidden_dim=1024, depth=24, num_heads=16,
+        intermediate_dim=4096, max_position=512, type_vocab_size=2,
+    ),
+    "bert-base-multilingual-cased": dict(
+        vocab_size=119547, hidden_dim=768, depth=12, num_heads=12,
         intermediate_dim=3072, max_position=512, type_vocab_size=2,
     ),
 }
 
 
+def _hf_config_arch(tag: str) -> Optional[dict]:
+    """Resolve a BERT-family architecture from a locally-cached HuggingFace
+    config (AutoConfig; no network — this environment has zero egress).
+    Returns None when transformers or the cached config is unavailable or
+    the architecture is not BERT-shaped."""
+    try:
+        from transformers import AutoConfig
+
+        hf = AutoConfig.from_pretrained(tag, local_files_only=True)
+    except Exception:
+        return None
+    if getattr(hf, "model_type", "") != "bert":
+        return None
+    return dict(
+        vocab_size=hf.vocab_size,
+        hidden_dim=hf.hidden_size,
+        depth=hf.num_hidden_layers,
+        num_heads=hf.num_attention_heads,
+        intermediate_dim=hf.intermediate_size,
+        max_position=hf.max_position_embeddings,
+        type_vocab_size=hf.type_vocab_size,
+    )
+
+
+def resolve_bert_config(tag: str, arch: Optional[dict] = None) -> dict:
+    """Tag table -> cached HF AutoConfig -> YAML ``model.text_encoder.arch``
+    overrides."""
+    spec = BERT_CONFIGS.get(tag)
+    if spec is None:
+        spec = _hf_config_arch(tag)
+    spec = dict(spec) if spec else {}
+    if arch:
+        spec.update({k: v for k, v in dict(arch).items() if v is not None})
+    required = ("vocab_size", "hidden_dim", "depth", "num_heads",
+                "intermediate_dim")
+    missing = [k for k in required if k not in spec]
+    if missing:
+        raise KeyError(
+            f"Unknown BERT tag '{tag}' (not in the table, no cached HF "
+            f"config) and model.text_encoder.arch is missing {missing}"
+        )
+    spec.setdefault("max_position", 512)
+    spec.setdefault("type_vocab_size", 2)
+    return spec
+
+
 def build_bert(tag: str, dtype: jnp.dtype = jnp.float32, dropout: float = 0.0,
-               remat: bool = False) -> BertEncoder:
-    if tag not in BERT_CONFIGS:
-        raise KeyError(f"Unknown BERT tag '{tag}'; known: {sorted(BERT_CONFIGS)}")
-    return BertEncoder(dtype=dtype, dropout=dropout, remat=remat,
-                       **BERT_CONFIGS[tag])
+               remat: bool = False, arch: Optional[dict] = None) -> BertEncoder:
+    spec = resolve_bert_config(tag, arch)
+    return BertEncoder(dtype=dtype, dropout=dropout, remat=remat, **spec)

@@ -37,8 +37,12 @@ class CLIPModel(nn.Module):
     # image tower
     image_tag: str = "vit_base_patch16_224_in21k"
     img_size: int = 224
+    # YAML-declared architecture overrides for tags outside the built-in
+    # tables (tuple of (key, value) pairs — hashable for module comparison)
+    image_arch: Optional[Tuple[Tuple[str, Any], ...]] = None
     # text tower
     text_tag: str = "bert-base-uncased"
+    text_arch: Optional[Tuple[Tuple[str, Any], ...]] = None
     target_token_idx: int = 0
     # projection
     projection_name: str = "simple"  # simple | complex
@@ -63,13 +67,15 @@ class CLIPModel(nn.Module):
         if "vit" in self.image_tag:
             self.image_encoder = build_vit(self.image_tag, self.img_size,
                                            self.dtype, self.dropout,
-                                           remat=self.remat)
+                                           remat=self.remat,
+                                           arch=dict(self.image_arch or ()))
         else:
             from simseg_tpu.models.resnet import build_resnet
 
             self.image_encoder = build_resnet(self.image_tag, self.dtype)
         self.text_encoder = build_bert(self.text_tag, self.dtype, self.dropout,
-                                       remat=self.remat)
+                                       remat=self.remat,
+                                       arch=dict(self.text_arch or ()))
         proj = {
             "simple": lambda name: SimpleProjection(self.projection_dim, self.dtype,
                                                     name=name),
@@ -100,11 +106,17 @@ class CLIPModel(nn.Module):
 
     # -- image tower -------------------------------------------------------------
     def forward_image_feature(self, images: jnp.ndarray,
-                              deterministic: bool = True) -> jnp.ndarray:
+                              deterministic: bool = True,
+                              train_bn: bool = False) -> jnp.ndarray:
         """(B, H, W, 3) -> token features. ViT + identity pool: CLS (B, D);
         ViT otherwise: patch tokens (B, N, D); CNN: spatial map reshaped to
-        (B, HW, C) (parity: pipelines/clip.py:65-84)."""
-        tokens = self.image_encoder(images, deterministic)
+        (B, HW, C) (parity: pipelines/clip.py:65-84). train_bn: CNN
+        BatchNorm uses (and mutates) batch statistics — the reference's
+        freeze_cnn_bn=False training mode (pipelines/clip.py:51-62)."""
+        if "vit" in self.image_tag:
+            tokens = self.image_encoder(images, deterministic)
+        else:
+            tokens = self.image_encoder(images, deterministic, train_bn)
         if tokens.ndim == 4:  # CNN feature map (B, h, w, C)
             b, h, w, c = tokens.shape
             return tokens.reshape(b, h * w, c)
@@ -173,6 +185,7 @@ class CLIPModel(nn.Module):
         batch: Dict[str, jnp.ndarray],
         embeddings: Any = "all",
         deterministic: bool = True,
+        train_bn: bool = False,
     ) -> Tuple[jnp.ndarray, ...]:
         """parity: pipelines/clip.py:152-176 forward. Returns
         (image_emb, text_emb, temperature) for embeddings='all'; single-tower
@@ -183,7 +196,7 @@ class CLIPModel(nn.Module):
             return self.forward_text_feature(
                 batch["input_ids"], batch["attention_mask"], deterministic
             )
-        img = self.forward_image_feature(batch["image"], deterministic)
+        img = self.forward_image_feature(batch["image"], deterministic, train_bn)
         txt = self.forward_text_feature(
             batch["input_ids"], batch["attention_mask"], deterministic
         )
@@ -198,10 +211,19 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None) -> CLIPModel:
     if dtype is None:
         dtype = jnp.bfloat16 if cfg.dist.get("bf16", False) else jnp.float32
     m = cfg.model
+
+    def arch_tuple(enc_cfg):
+        arch = enc_cfg.get("arch", {}) or {}
+        items = tuple(sorted((k, v) for k, v in dict(arch).items()
+                             if v is not None))
+        return items or None
+
     return CLIPModel(
         image_tag=m.image_encoder.tag,
         img_size=cfg.transforms.input_size,
+        image_arch=arch_tuple(m.image_encoder),
         text_tag=m.text_encoder.tag,
+        text_arch=arch_tuple(m.text_encoder),
         target_token_idx=m.text_encoder.target_token_idx,
         projection_name=m.projection.name,
         projection_dim=m.projection.dim,

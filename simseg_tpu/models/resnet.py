@@ -9,11 +9,11 @@ torchvision/timm ResNet-50 so torch checkpoints bridge directly.
 BatchNorm on TPU: under pjit the batch dim is globally sharded, so batch
 statistics are computed over the global batch automatically — the
 reference's SyncBN conversion (``tasks/clip/train.py:50-56``) is the default
-behavior, not an opt-in. Training-mode statistic updates require threading
-the ``batch_stats`` collection through the train step; this round the
-encoder runs with running-average statistics (the reference's
-``freeze_cnn_bn=True`` mode, which is also the only mode its published
-two-tower recipes exercise for BN) — scale/bias remain trainable.
+behavior, not an opt-in. With ``train_bn=True`` the forward uses batch
+statistics and mutates the ``batch_stats`` collection (the train step merges
+it back — reference ``freeze_cnn_bn=False`` semantics, pipelines/clip.py:
+51-62); with ``train_bn=False`` running averages are used (freeze mode).
+Scale/bias remain trainable either way.
 """
 
 from __future__ import annotations
@@ -31,10 +31,11 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train_bn: bool = False) -> jnp.ndarray:
         def bn(name):
-            return nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                                momentum=0.9, dtype=self.dtype, name=name)
+            return nn.BatchNorm(use_running_average=not train_bn,
+                                epsilon=1e-5, momentum=0.9, dtype=self.dtype,
+                                name=name)
 
         identity = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
@@ -52,8 +53,9 @@ class Bottleneck(nn.Module):
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            identity = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                                    momentum=0.9, dtype=self.dtype,
+            identity = nn.BatchNorm(use_running_average=not train_bn,
+                                    epsilon=1e-5, momentum=0.9,
+                                    dtype=self.dtype,
                                     name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -67,13 +69,14 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True,
+                 train_bn: bool = False) -> jnp.ndarray:
         x = images.astype(self.dtype)
         x = nn.Conv(self.width, (7, 7), strides=(2, 2),
                     padding=((3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, momentum=0.9,
-                         dtype=self.dtype, name="bn1")(x)
+        x = nn.BatchNorm(use_running_average=not train_bn, epsilon=1e-5,
+                         momentum=0.9, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -85,7 +88,7 @@ class ResNet(nn.Module):
                     planes, stride=stride if i == 0 else 1,
                     downsample=(i == 0), dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}",
-                )(x)
+                )(x, train_bn)
             planes *= 2
         return x  # (B, h, w, C)
 

@@ -17,6 +17,9 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import re
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -156,20 +159,69 @@ class VisionTransformer(nn.Module):
 
 
 # timm tag -> architecture hyperparameters (vit_builder.py instantiates these
-# via timm.create_model; we declare them directly).
+# via timm.create_model; we declare them directly). Tags not listed here are
+# pattern-parsed by _parse_timm_vit_tag, giving the reference's "any timm ViT
+# tag" behavior (timm_builder.py:7-20) for the standard family.
 VIT_CONFIGS = {
     # tiny config for fast unit tests
     "vit_test": dict(patch_size=8, embed_dim=32, depth=2, num_heads=2),
-    "vit_small_patch16_224": dict(patch_size=16, embed_dim=384, depth=12, num_heads=6),
-    "vit_small_patch16_224_in21k": dict(patch_size=16, embed_dim=384, depth=12, num_heads=6),
-    "vit_base_patch16_224": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12),
-    "vit_base_patch16_224_in21k": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12),
 }
+
+# timm size-name -> (embed_dim, depth, num_heads); mlp_ratio is 4.0 for all
+# standard ViTs (timm vision_transformer.py model registry)
+_VIT_SIZES = {
+    "tiny": (192, 12, 3),
+    "small": (384, 12, 6),
+    "medium": (512, 12, 8),
+    "base": (768, 12, 12),
+    "large": (1024, 24, 16),
+    "huge": (1280, 32, 16),
+}
+
+_TAG_RE = re.compile(
+    r"^vit_(?P<size>tiny|small|medium|base|large|huge)"
+    r"_patch(?P<patch>\d+)"
+    r"_(?P<res>\d+)"
+    r"(?P<rest>(_.*)?)$"
+)
+
+
+def _parse_timm_vit_tag(tag: str) -> Optional[dict]:
+    """Standard timm ViT tag -> architecture dict. The trailing resolution
+    (224/384/...) is the *pretraining* resolution — runtime resolution is the
+    img_size argument (checkpoints are PE-interpolated across grids) — and
+    suffixes like ``_in21k`` / ``.augreg_...`` select weights, not
+    architecture, so both are accepted and ignored here."""
+    m = _TAG_RE.match(tag.split(".")[0])
+    if not m:
+        return None
+    dim, depth, heads = _VIT_SIZES[m.group("size")]
+    return dict(patch_size=int(m.group("patch")), embed_dim=dim,
+                depth=depth, num_heads=heads)
+
+
+def resolve_vit_config(tag: str, arch: Optional[dict] = None) -> dict:
+    """Tag table -> timm-pattern parse -> YAML ``model.image_encoder.arch``
+    overrides. A fully-specified arch dict works with any tag name."""
+    spec = VIT_CONFIGS.get(tag)
+    if spec is None:
+        spec = _parse_timm_vit_tag(tag)
+    spec = dict(spec) if spec else {}
+    if arch:
+        spec.update({k: v for k, v in dict(arch).items() if v is not None})
+    required = ("patch_size", "embed_dim", "depth", "num_heads")
+    missing = [k for k in required if k not in spec]
+    if missing:
+        raise KeyError(
+            f"Unknown ViT tag '{tag}' (not in the table, not a standard timm "
+            f"pattern) and model.image_encoder.arch is missing {missing}"
+        )
+    return spec
 
 
 def build_vit(tag: str, img_size: int, dtype: jnp.dtype = jnp.float32,
-              dropout: float = 0.0, remat: bool = False) -> VisionTransformer:
-    if tag not in VIT_CONFIGS:
-        raise KeyError(f"Unknown ViT tag '{tag}'; known: {sorted(VIT_CONFIGS)}")
+              dropout: float = 0.0, remat: bool = False,
+              arch: Optional[dict] = None) -> VisionTransformer:
+    spec = resolve_vit_config(tag, arch)
     return VisionTransformer(img_size=img_size, dtype=dtype, dropout=dropout,
-                             remat=remat, **VIT_CONFIGS[tag])
+                             remat=remat, **spec)

@@ -29,12 +29,42 @@ REPLICA_AXIS = "replica"
 
 def init_distributed() -> None:
     """Initialize multi-host JAX if launched under a pod runtime
-    (parity: core/initial.py:52-54; here jax.distributed over ICI/DCN)."""
-    if os.environ.get("COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass
+    (parity: core/initial.py:52-54; here jax.distributed over ICI/DCN).
+
+    Fails LOUDLY on a half-configured pod environment: if
+    COORDINATOR_ADDRESS is set, initialization must succeed — silently
+    degrading to single-process would train on 1/N of the data with no
+    gradient exchange and corrupt the run."""
+    addr = os.environ.get("COORDINATOR_ADDRESS")
+    # NOTE: do not touch jax.process_count()/jax.devices() here — they
+    # initialize the XLA backend, after which jax.distributed.initialize
+    # refuses to run
+    if not addr or jax.distributed.is_initialized():
+        return  # single-host run, or already initialized by the runtime
+    num = os.environ.get("NUM_PROCESSES")
+    pid = os.environ.get("PROCESS_ID")
+    try:
+        if num is not None or pid is not None:
+            if num is None or pid is None:
+                raise ValueError(
+                    "NUM_PROCESSES and PROCESS_ID must both be set "
+                    f"(got NUM_PROCESSES={num!r}, PROCESS_ID={pid!r})"
+                )
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(num),
+                process_id=int(pid),
+            )
+        else:
+            # TPU pod runtime: topology autodetected
+            jax.distributed.initialize(coordinator_address=addr)
+    except Exception as e:
+        raise RuntimeError(
+            f"Multi-host init requested (COORDINATOR_ADDRESS={addr!r}) but "
+            f"jax.distributed.initialize failed: {e}. Unset "
+            "COORDINATOR_ADDRESS for single-host runs, or fix "
+            "NUM_PROCESSES/PROCESS_ID."
+        ) from e
 
 
 def make_mesh(

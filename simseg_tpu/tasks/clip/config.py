@@ -102,6 +102,9 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.model.image_encoder.embedding_dim = 768
     cfg.model.image_encoder.pretrained = True
     cfg.model.image_encoder.trainable = True
+    # YAML-declared architecture for tags outside the built-in tables
+    # (vit: patch_size/embed_dim/depth/num_heads[/mlp_ratio])
+    cfg.model.image_encoder.arch = OpenDict()
 
     cfg.model.text_encoder = AttrDict()
     cfg.model.text_encoder.name = "huggingface_modelzoo"
@@ -109,6 +112,8 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.model.text_encoder.embedding_dim = 768
     cfg.model.text_encoder.pretrained = True
     cfg.model.text_encoder.trainable = True
+    # (bert: vocab_size/hidden_dim/depth/num_heads/intermediate_dim[...])
+    cfg.model.text_encoder.arch = OpenDict()
     cfg.model.text_encoder.target_token_idx = 0
 
     cfg.model.projection = AttrDict()

@@ -138,17 +138,21 @@ class TorchTinyCLIP(nn.Module):
     (image_encoder.model.model.*, text_encoder.model.*, *_projection.linear,
     loss.temperature)."""
 
-    def __init__(self, proj_dim=16):
+    def __init__(self, proj_dim=16, vit_kwargs=None, bert_kwargs=None):
         super().__init__()
+        vit_kwargs = vit_kwargs or {}
+        bert_kwargs = bert_kwargs or {}
         self.image_encoder = nn.Module()
         self.image_encoder.model = nn.Module()
-        self.image_encoder.model.model = TorchViT()
+        self.image_encoder.model.model = TorchViT(**vit_kwargs)
         self.text_encoder = nn.Module()
-        self.text_encoder.model = TorchBert()
+        self.text_encoder.model = TorchBert(**bert_kwargs)
+        vdim = vit_kwargs.get("dim", 32)
+        tdim = bert_kwargs.get("dim", 32)
         self.image_projection = nn.Module()
-        self.image_projection.linear = nn.Linear(32, proj_dim, bias=False)
+        self.image_projection.linear = nn.Linear(vdim, proj_dim, bias=False)
         self.text_projection = nn.Module()
-        self.text_projection.linear = nn.Linear(32, proj_dim, bias=False)
+        self.text_projection.linear = nn.Linear(tdim, proj_dim, bias=False)
         self.loss = nn.Module()
         self.loss.temperature = nn.Parameter(torch.tensor(0.03))
 
