@@ -14,6 +14,7 @@ from tests.test_models import tiny_clip
 from tests.test_train_step import _batch, _cfg
 
 
+@pytest.mark.slow
 def test_bsgs_grads_match_direct_autodiff():
     model = tiny_clip()
     batch = _batch(16, seed=3)

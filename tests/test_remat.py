@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from simseg_tpu.engine import clip_loss_fn
 from simseg_tpu.models import CLIPModel
@@ -17,6 +18,7 @@ def _model(remat):
     )
 
 
+@pytest.mark.slow
 def test_remat_gradients_identical():
     rng = np.random.default_rng(0)
     batch = {

@@ -79,6 +79,7 @@ def test_clip_cnn_path_shapes():
     assert feats.shape == (2, 64, 64)
 
 
+@pytest.mark.slow
 def test_cnn_training_freezes_batch_stats():
     """With freeze_cnn_bn=True the BN running statistics must not move (the
     optimizer is masked off them and the forward uses running averages —

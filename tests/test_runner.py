@@ -143,6 +143,7 @@ def test_train_steps_cap_runs_exactly_train_steps(toy_cfg):
     assert processed == [0, 1, 0, 1]
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume_with_train_steps_cap(toy_cfg):
     """Interrupt mid-epoch under a train_steps cap; auto-resume must skip
     exactly the completed batches and finish with exact global step counts

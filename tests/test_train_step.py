@@ -46,6 +46,7 @@ def test_train_step_decreases_loss():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_train_step_on_mesh_matches_single_device():
     """The pjit data-parallel step must produce the same numerics as the
     single-device step (XLA inserts the gather/reduce from shardings)."""

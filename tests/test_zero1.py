@@ -27,6 +27,7 @@ def test_opt_state_sharding_spec():
     assert any("data" in str(s.spec) for s in leaves)
 
 
+@pytest.mark.slow
 def test_zero1_matches_replicated():
     model = tiny_clip()
     batch = _batch(16)
