@@ -53,10 +53,14 @@ def _sep_blur(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
 
     # rows: conv over W. Use dot with a banded matrix (static, small) — maps
     # to the MXU and avoids conv layout shuffles for many small channels.
+    # Accumulate in f32 on the MXU regardless of the (possibly bf16) compute
+    # dtype, then cast back.
     band_w = _band_matrix(w, taps)
     band_h = _band_matrix(h, taps)
-    y = jnp.einsum("nhw,wv->nhv", xr, band_w)
-    y = jnp.einsum("nhv,hu->nuv", y, band_h)
+    y = jnp.einsum("nhw,wv->nhv", xr, band_w,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    y = jnp.einsum("nhv,hu->nuv", y, band_h,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
     return y.reshape(*lead, h, w)
 
 
@@ -108,12 +112,25 @@ def _bilateral_kernel_matrix(
 # mean-field inference
 # --------------------------------------------------------------------------
 
-def _resolve_bilateral_impl(impl: str) -> str:
+def _resolve_bilateral_impl(impl: str, n_small: int) -> str:
     if impl != "auto":
         return impl
-    # the streaming Pallas kernel targets real TPUs; everywhere else use the
-    # XLA kernel-matrix path
-    return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if jax.default_backend() == "cpu":
+        return "xla"
+    # small coarse grids: materializing the (n, n) kernel once and reusing it
+    # across the 3 iterations beats recomputing exp() in the streaming Pallas
+    # kernel (measured: 2698 vs 2431 img/s at n=1296); large grids: the
+    # materialized kernel's HBM traffic dominates, stream instead
+    return "xla" if n_small <= 4096 else "pallas"
+
+
+def _resolve_compute_dtype(name: str):
+    if name == "auto":
+        # bf16 fine-grid compute on accelerators (the CRF is HBM-bandwidth
+        # bound; the argmax decision is tanh-saturated and robust); exact
+        # f32 on CPU where the parity tests compare against numpy
+        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    return jnp.dtype(name)
 
 
 @partial(
@@ -121,7 +138,7 @@ def _resolve_bilateral_impl(impl: str) -> str:
     static_argnames=(
         "num_iters", "bilateral_stride", "gaussian_sxy", "gaussian_compat",
         "bilateral_sxy", "bilateral_srgb", "bilateral_compat",
-        "bilateral_impl",
+        "bilateral_impl", "compute_dtype",
     ),
 )
 def dense_crf_batched(
@@ -135,6 +152,7 @@ def dense_crf_batched(
     bilateral_compat: float = 10.0,
     bilateral_stride: int = 4,
     bilateral_impl: str = "auto",
+    compute_dtype: str = "auto",
 ) -> jnp.ndarray:
     """Refine K binary probability maps per image over a batch.
 
@@ -148,6 +166,7 @@ def dense_crf_batched(
     bb, kk, h, w = probs.shape
     s = bilateral_stride
     assert h % s == 0 and w % s == 0, (h, w, s)
+    cdt = _resolve_compute_dtype(compute_dtype)
 
     p = jnp.clip(probs.astype(jnp.float32), 0.0, 1.0)
     # Binary-label reduction: with labels {bg, fg} and symmetric
@@ -162,13 +181,14 @@ def dense_crf_batched(
     # the kernel matmul width versus the generic L-label formulation; the
     # fixed point is identical (verified against the 2-channel numpy
     # mean-field in tests).
-    du = jnp.log(p + 1e-8) - jnp.log(1.0 - p + 1e-8)  # (B, K, H, W)
+    du = (jnp.log(p + 1e-8) - jnp.log(1.0 - p + 1e-8)).astype(cdt)
 
     taps = jnp.asarray(_gaussian_taps(gaussian_sxy))
 
     # Gaussian normalization: D = blur(1); symmetric norm 1/sqrt(D)
     ones = jnp.ones((h, w), jnp.float32)
-    g_norm = jax.lax.rsqrt(_sep_blur(ones, taps) + 1e-20)  # (H, W)
+    g_norm = jax.lax.rsqrt(_sep_blur(ones, taps) + 1e-20).astype(cdt)  # (H, W)
+    taps = taps.astype(cdt)
 
     # bilateral kernel features at coarse resolution (per image, shared
     # across the K candidate maps)
@@ -177,7 +197,7 @@ def dense_crf_batched(
     )  # (B, 3, h/s, w/s)
     rgb_small = jnp.moveaxis(rgb_small, 1, -1)  # (B, h/s, w/s, 3)
     n_small = (h // s) * (w // s)
-    impl = _resolve_bilateral_impl(bilateral_impl)
+    impl = _resolve_bilateral_impl(bilateral_impl, n_small)
 
     if impl == "pallas":
         from simseg_tpu.ops.crf_pallas import (
@@ -191,25 +211,27 @@ def dense_crf_batched(
         degree = bilateral_matvec_batched(
             feat, jnp.ones((bb, n_small, 1), jnp.float32)
         )
-        b_norm = jax.lax.rsqrt(degree[..., 0] + 1e-20)  # (B, n_small)
+        b_norm = jax.lax.rsqrt(degree[..., 0] + 1e-20).astype(cdt)  # (B, n_small)
 
         def _bilateral_apply(q_small: jnp.ndarray) -> jnp.ndarray:
             # q_small: (B, C, n_small) -> (B, C, n_small)
             qn = (q_small * b_norm[:, None, :]).transpose(0, 2, 1)
             m = bilateral_matvec_batched(feat, qn).transpose(0, 2, 1)
-            return m * b_norm[:, None, :]
+            return m.astype(cdt) * b_norm[:, None, :]
     else:
         kmat = jax.vmap(
             lambda r: _bilateral_kernel_matrix(r, bilateral_sxy,
                                                bilateral_srgb, s)
         )(rgb_small)  # (B, n_small, n_small)
         b_norm = jax.lax.rsqrt(jnp.sum(kmat, axis=2) + 1e-20)  # (B, n_small)
+        kmat = kmat.astype(cdt)
+        b_norm = b_norm.astype(cdt)
 
         def _bilateral_apply(q_small: jnp.ndarray) -> jnp.ndarray:
             m = jnp.einsum(
                 "bcn,bmn->bcm", q_small * b_norm[:, None, :], kmat,
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(cdt)
             return m * b_norm[:, None, :]
 
     def bilateral_message(d: jnp.ndarray) -> jnp.ndarray:

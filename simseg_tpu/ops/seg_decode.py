@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from simseg_tpu.ops.crf import dense_crf_batched
+from simseg_tpu.ops.crf import _resolve_compute_dtype, dense_crf_batched
 from simseg_tpu.ops.morphology import closing, nearest_upsample
 
 
@@ -34,7 +34,7 @@ def make_seg_decode_fn(
     top_cls_num: int = 10,
     candidate_classes: int = 5,
     crf_iters: int = 3,
-    bilateral_stride: int = 4,
+    bilateral_stride: int = 8,
     morphology_ksize: int = 7,
     crf_backend: str = "auto",
 ):
@@ -97,9 +97,17 @@ def make_seg_decode_fn(
             bilateral_impl=crf_backend,
         )                                                      # (B, K, H, W)
 
-        # 5. morphology + score weighting + argmax (:156-177)
-        masks = closing(masks.astype(jnp.float32), morphology_ksize)
-        weights = jnp.where(valid[:, :, None, None], masks * cand_scores[:, :, None, None], 0.0)
+        # 5. morphology + score weighting + argmax (:156-177). Fine-grid
+        # tensors ride the CRF's compute dtype (bf16 on TPU — masks are 0/1
+        # so the separable min/max closing is exact; the score weighting
+        # decision is a strict ordering of a handful of scores, done in f32)
+        cdt = _resolve_compute_dtype("auto")
+        masks = closing(masks.astype(cdt), morphology_ksize)
+        weights = jnp.where(
+            valid[:, :, None, None],
+            masks.astype(jnp.float32) * cand_scores[:, :, None, None],
+            0.0,
+        )
 
         best_k = jnp.argmax(weights, axis=1)                  # (B, H, W)
         best_w = jnp.max(weights, axis=1)

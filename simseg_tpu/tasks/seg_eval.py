@@ -95,7 +95,7 @@ def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
         patch_size=patch_size,
         top_cls_num=top_cls_num,
         candidate_classes=5,
-        bilateral_stride=seg_cfg.get("bilateral_stride", 4),
+        bilateral_stride=seg_cfg.get("bilateral_stride", 8),
         crf_backend=seg_cfg.get("crf_backend", "auto"),
     )
     base_grid = input_size // patch_size

@@ -163,3 +163,28 @@ def test_resize_nearest_to_padded():
                       interpolation=cv2.INTER_NEAREST)
     np.testing.assert_array_equal(out[:8, :8].astype(np.uint8), want)
     assert np.all(out[8:] == 255) and np.all(out[:, 8:] == 255)
+
+
+def test_crf_stride8_approximates_stride4_at_scale():
+    """The seg-eval default stride is 8 (finer than pydensecrf's
+    permutohedral lattice, whose effective spatial cell is ~1 sigma = 40px);
+    regression-guard its agreement with stride 4 on a structured scene.
+    Measured at 288px on TPU: 98.5% mean agreement; at this smaller test
+    size stride-8 cells are relatively coarser, so the bound is looser."""
+    rng = np.random.default_rng(7)
+    h = w = 96
+    img = np.zeros((h, w, 3), np.float32)
+    img[:] = [40, 40, 180]
+    yy, xx = np.mgrid[0:h, 0:w]
+    gt = ((yy - 48) / 28) ** 2 + ((xx - 44) / 32) ** 2 < 1
+    img[gt] = [200, 60, 50]
+    img = np.clip(img + rng.normal(0, 6, img.shape), 0, 255)
+    g = h // 16
+    pg = np.clip(0.55 * gt.reshape(g, 16, g, 16).mean((1, 3)) + 0.25
+                 + rng.normal(0, 0.12, (g, g)), 0.01, 0.99)
+    probs = np.repeat(np.repeat(pg, 16, 0), 16, 1)[None]
+    m4 = np.asarray(dense_crf_binary(jnp.asarray(probs), jnp.asarray(img),
+                                     bilateral_stride=4))
+    m8 = np.asarray(dense_crf_binary(jnp.asarray(probs), jnp.asarray(img),
+                                     bilateral_stride=8))
+    assert (m4 == m8).mean() >= 0.95

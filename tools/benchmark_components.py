@@ -142,9 +142,29 @@ def main():
         rates.append(r)
     results["clip_train_step"] = float(np.median(rates))
 
+    # MFU: analytic dense FLOPs per sample for the flagship towers.
+    # ViT-B/16 @288 (T=325, D=768, 12 blocks): per block 4TD^2 MACs
+    # (qkv+proj) + 2T^2 D (scores+context) + 8TD^2 (mlp); plus the
+    # patch-embed conv and the 512-d projections. BERT-base @T=25
+    # analogous. Train step ~= 3x forward (fwd + 2x bwd matmuls).
+    def tower_flops(t, d, depth, extra=0.0):
+        per_block = 12 * t * d * d + 2 * t * t * d
+        return 2.0 * (depth * per_block + extra)  # 2 flops per MAC
+
+    vit = tower_flops(325, 768, 12, extra=325 * 768 * (3 * 256) + 325 * 768 * 512)
+    bert = tower_flops(25, 768, 12, extra=25 * 768 * 512)
+    fwd_flops = vit + bert
+    train_flops = 3.0 * fwd_flops
+    peak = 197e12 if jax.default_backend() != "cpu" else float("nan")  # v5e bf16
+    mfu = results["clip_train_step"] * train_flops / peak
+    fwd_mfu = results["image_tower_fwd"] * vit / peak
+
     print(f"\n== component throughput (batch {b}, images/sec/chip) ==")
     for k, v in results.items():
         print(f"{k:24s} {v:10.1f}")
+    print(f"\ntrain_flops/sample ~ {train_flops / 1e9:.1f} GFLOP; "
+          f"train-step MFU ~ {100 * mfu:.1f}% of v5e bf16 peak "
+          f"(image-tower fwd MFU ~ {100 * fwd_mfu:.1f}%)")
 
 
 if __name__ == "__main__":
