@@ -72,7 +72,8 @@ class CLIPModel(nn.Module):
         else:
             from simseg_tpu.models.resnet import build_resnet
 
-            self.image_encoder = build_resnet(self.image_tag, self.dtype)
+            self.image_encoder = build_resnet(self.image_tag, self.dtype,
+                                              arch=dict(self.image_arch or ()))
         self.text_encoder = build_bert(self.text_tag, self.dtype, self.dropout,
                                        remat=self.remat,
                                        arch=dict(self.text_arch or ()))

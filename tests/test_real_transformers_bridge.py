@@ -155,3 +155,37 @@ def test_timm_0613_vit_key_inventory_fully_mapped():
     assert not report["missing"], report["missing"]
     assert not report["mismatched"], report["mismatched"]
     assert not report["unexpected"], report["unexpected"]
+
+
+def test_in21k_pre_logits_keys_tolerated():
+    """timm in21k ViTs may carry an unused pre_logits representation head
+    (reference vit_builder forward never calls it) — such keys must land in
+    the 'unexpected' bucket without blocking the load."""
+    import numpy as np
+    from simseg_tpu.models.vit import VisionTransformer
+
+    fmodel = VisionTransformer(img_size=32, patch_size=8, embed_dim=32,
+                               depth=1, num_heads=2)
+    variables = fmodel.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.default_rng(0)
+    state = {
+        "image_encoder.model.model.pre_logits.fc.weight":
+            rng.normal(size=(32, 32)).astype(np.float32),
+        "image_encoder.model.model.pre_logits.fc.bias":
+            rng.normal(size=(32,)).astype(np.float32),
+        "image_encoder.model.model.norm.weight":
+            rng.normal(size=(32,)).astype(np.float32),
+        "image_encoder.model.model.norm.bias":
+            rng.normal(size=(32,)).astype(np.float32),
+    }
+    table = []
+    for pat, fn, cv in clip_mapping_table():
+        def strip(m, f=fn):
+            return tuple(p for p in f(m) if p != "image_encoder")
+        table.append((pat, strip, cv))
+    new_vars, report = torch_to_flax(state, variables, table)
+    assert sorted(report["unexpected"]) == [
+        "image_encoder.model.model.pre_logits.fc.bias",
+        "image_encoder.model.model.pre_logits.fc.weight",
+    ]
+    assert "image_encoder.model.model.norm.weight" in report["matched"]

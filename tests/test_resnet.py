@@ -212,3 +212,59 @@ def test_bn_stats_converge_to_input_statistics():
     want_mean = np.asarray(x.mean(axis=(0, 1, 2)))
     got_mean = np.asarray(params["batch_stats"]["image_encoder"]["bn1"]["mean"])
     np.testing.assert_allclose(got_mean, want_mean, rtol=2e-2, atol=2e-3)
+
+
+def test_basic_block_resnet_matches_torch():
+    """resnet18/34-style BasicBlock path: bridged torchvision-layout weights
+    must reproduce the torch forward (reference timm_builder accepts any
+    resnet tag; the basic family completes the standard table)."""
+    from tests.torch_reference import TorchTinyBasicResNet
+
+    torch.manual_seed(0)
+    tmodel = TorchTinyBasicResNet()
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            if p.ndim > 0:
+                p.add_(torch.randn_like(p) * 0.05)
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.add_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.mul_(1.5)
+    tmodel.eval()
+
+    fmodel = build_resnet("resnet_basic_test")
+    variables = fmodel.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    state = {
+        "image_encoder.model.model." + k: v.detach().numpy()
+        for k, v in tmodel.state_dict().items()
+        if "num_batches_tracked" not in k
+    }
+    table = clip_mapping_table()
+
+    def strip(path):
+        return (path[0],) + path[2:]
+    table = [(pat, (lambda m, f=fn: strip(f(m))), cv) for pat, fn, cv in table]
+    new_vars, report = torch_to_flax(state, variables, table)
+    assert not report["missing"], report["missing"][:5]
+    assert not report["mismatched"], report["mismatched"][:5]
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.tensor(x)).numpy()
+    got = fmodel.apply(new_vars, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_family_tags_resolve():
+    assert build_resnet("resnet18").block == "basic"
+    assert build_resnet("resnet34").layers == (3, 4, 6, 3)
+    assert build_resnet("resnet152").layers == (3, 8, 36, 3)
+    # arch override for an unknown tag
+    m = build_resnet("my_cnn", arch=dict(layers=[1, 1], width=16,
+                                         block="basic"))
+    assert m.width == 16 and m.block == "basic"
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="my_other_cnn"):
+        build_resnet("my_other_cnn")

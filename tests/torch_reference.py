@@ -222,3 +222,47 @@ class TorchTinyResNet(nn.Module):
         x = self.layer1(x)
         x = self.layer2(x)
         return x  # (B, C, h, w)
+
+
+class TorchBasicBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34 layout, expansion 1)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = None
+        if downsample:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes),
+            )
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return F.relu(out + idn)
+
+
+class TorchTinyBasicResNet(nn.Module):
+    """torchvision-layout tiny basic-block ResNet matching flax
+    RESNET_CONFIGS 'resnet_basic_test' (layers (1,1), width 8)."""
+
+    def __init__(self, width=8):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = nn.Sequential(TorchBasicBlock(width, width))
+        self.layer2 = nn.Sequential(
+            TorchBasicBlock(width, width * 2, stride=2, downsample=True))
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        x = self.layer1(x)
+        x = self.layer2(x)
+        return x
