@@ -282,12 +282,31 @@ class CLIPRunner(EpochRunner):
         smoothing = cfg.loss.get("smoothing", 0.0)
         group_size = cfg.loss.get("group_size", -1)
         if cfg.runner.name == "clip_bsgs":
+            loss_name = cfg.loss.get("name", "NCE")
+            if loss_name not in ("NCE", "MixUpNCE"):
+                # the analytic two-pass gradients are derived for (mixup-)
+                # InfoNCE only (reference BSGS likewise,
+                # clip_bsgs_runner.py:358-396) — refuse rather than silently
+                # training a different objective than configured
+                raise NotImplementedError(
+                    f"runner 'clip_bsgs' supports loss NCE/MixUpNCE, got "
+                    f"'{loss_name}' (use runner.name='clip')"
+                )
+            if (isinstance(self.train_state.params, dict)
+                    and "batch_stats" in self.train_state.params
+                    and not cfg.model.get("freeze_cnn_bn", False)):
+                raise NotImplementedError(
+                    "runner 'clip_bsgs' does not thread live BatchNorm "
+                    "statistics (the two-pass re-forward would double-update "
+                    "them); set model.freeze_cnn_bn=true or use "
+                    "runner.name='clip'"
+                )
             num_micro = max(1, cfg.data.batch_size // cfg.data.batch_size_train)
             self._step_fn = make_bsgs_train_step(
                 self.model, self.tx, self._set_lr, num_micro=num_micro,
                 mesh=self.mesh, smoothing=smoothing,
                 group_size=(group_size if group_size and group_size > 0 else -1),
-                mixup=cfg.loss.get("name", "NCE") == "MixUpNCE",
+                mixup=loss_name == "MixUpNCE",
                 mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
             )
         else:

@@ -76,6 +76,11 @@ class LogHook(Hook):
             )
         self._step_times = []
 
+    def after_val_epoch(self, runner) -> None:
+        """Restart the throughput window after a validation epoch so the next
+        train-side img/s reading does not include validation wall time."""
+        runner.state.log_metrics.pop_counter_rate("samples")
+
     def after_val_step(self, runner) -> None:
         """Validation progress (parity: log.py:111-123)."""
         interval = runner.cfg.log.get("interval_val", 1)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from simseg_tpu.engine.train_step import TrainState
+from simseg_tpu.engine.train_step import TrainState, mixup_lambda
 
 _BATCH_KEYS = ("image", "input_ids", "attention_mask")
 
@@ -95,7 +95,8 @@ def make_bsgs_grad_fn(
         )
         return img.astype(jnp.float32), txt.astype(jnp.float32), temp
 
-    def grad_fn(params, batch: Dict[str, jnp.ndarray], rng: Optional[jax.Array] = None):
+    def grad_fn(params, batch: Dict[str, jnp.ndarray],
+                rng: Optional[jax.Array] = None, step=None):
         b = batch["image"].shape[0]
         mb_size = b // num_micro
         g = group_size if (group_size and 0 < group_size < b) else b
@@ -113,10 +114,9 @@ def make_bsgs_grad_fn(
 
         lam = None
         if mixup:
-            mix_rng = rng if rng is not None else jax.random.key(0)
-            lam = jax.random.beta(jax.random.fold_in(mix_rng, 1),
-                                  mixup_alpha_param, mixup_alpha_param)
-            lam = jnp.maximum(lam, 1.0 - lam)
+            # key folded with MIXUP_FOLD_TAG (train_step.py) so it never
+            # collides with the per-micro dropout keys key_of(0..num_micro)
+            lam = mixup_lambda(rng, step, mixup_alpha_param)
 
         mask = batch.get("ignore_mask")
         w = (jnp.ones((b,), jnp.float32) if mask is None
@@ -249,7 +249,7 @@ def make_bsgs_train_step(
                                 mixup_alpha_param=mixup_alpha_param)
 
     def step_fn(state: TrainState, batch, rng, lr):
-        grads, metrics = grad_fn(state.params, batch, rng)
+        grads, metrics = grad_fn(state.params, batch, rng, step=state.step)
         opt_state = set_lr(state.opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -31,6 +31,26 @@ from simseg_tpu.ops.losses import (
 )
 
 
+# PRNG fold tag for the mixup lambda draw — outside the 0..num_micro-1 range
+# the BSGS micro-batch dropout keys use, so lambda never shares a key with a
+# dropout mask
+MIXUP_FOLD_TAG = 0x7FFFFFFF
+
+
+def mixup_lambda(rng: Optional[jax.Array], step, alpha: float) -> jnp.ndarray:
+    """Per-step Beta(alpha, alpha) mixup coefficient, lam in [0.5, 1].
+
+    With stable_random off (rng None) the draw is derived from the global
+    step so it still varies per step instead of freezing at one constant."""
+    if rng is not None:
+        key = jax.random.fold_in(rng, MIXUP_FOLD_TAG)
+    else:
+        key = jax.random.fold_in(jax.random.key(0),
+                                 step if step is not None else 0)
+    lam = jax.random.beta(key, alpha, alpha)
+    return jnp.maximum(lam, 1.0 - lam)
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
@@ -79,6 +99,7 @@ def clip_loss_fn(
     triplet_reduce: str = "max",
     extra_losses: Tuple[str, ...] = (),
     bn_training: bool = False,
+    step=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Forward + contrastive loss (parity: pipelines/clip.py:123-176
     forward_loss, dispatching on cfg.loss.name like the LOSS registry;
@@ -91,11 +112,11 @@ def clip_loss_fn(
     if loss_name == "MixUpNCE":
         # single-modality (image) mixup: lam ~ Beta(a, a) per step, images
         # mixed with the batch-reversed pairing (parity: mml_loss.py:146-197;
-        # flip over the global batch)
-        mix_rng = rng if rng is not None else jax.random.key(0)
-        lam = jax.random.beta(jax.random.fold_in(mix_rng, 1),
-                              mixup_alpha_param, mixup_alpha_param)
-        lam = jnp.maximum(lam, 1.0 - lam)
+        # flip over the FUSED GLOBAL batch here — the reference mixes within
+        # each forward's input, which is the per-GPU batch under DDP; the
+        # BSGS runner analogously flips per micro-batch, so the pairing
+        # granularity intentionally differs between the two runners)
+        lam = mixup_lambda(rng, step, mixup_alpha_param)
         batch = dict(batch)
         batch["image"] = lam * batch["image"] + (1.0 - lam) * batch["image"][::-1]
 
@@ -192,7 +213,8 @@ def make_train_step(
     def step_fn(state: TrainState, batch, rng, lr):
         (_, metrics), grads = jax.value_and_grad(
             lambda p: clip_loss_fn(model, p, batch, rng, smoothing, group_size,
-                                   loss_name=loss_name, **loss_kwargs),
+                                   loss_name=loss_name, step=state.step,
+                                   **loss_kwargs),
             has_aux=True,
         )(state.params)
         metrics = dict(metrics)

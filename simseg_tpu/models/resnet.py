@@ -134,8 +134,8 @@ class ResNet(nn.Module):
         return x  # (B, h, w, C)
 
 
-# tag table; unknown resnet tags are pattern-parsed by _parse_resnet_tag and
-# arbitrary architectures can be declared via model.image_encoder.arch
+# tag tables (weight-suffix tolerant via tag.split('.')); arbitrary
+# architectures can be declared via model.image_encoder.arch
 # (layers / width / block)
 RESNET_CONFIGS = {
     "resnet_test": dict(layers=(1, 1), width=8),

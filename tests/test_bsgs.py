@@ -126,9 +126,10 @@ def test_bsgs_with_mixup_matches_direct():
     mb = b // num_micro
     batch = _batch(b, seed=12)
     params = model.init(jax.random.key(0), batch)
+    from simseg_tpu.engine.train_step import mixup_lambda
+
     rng = jax.random.key(13)
-    lam = jax.random.beta(jax.random.fold_in(rng, 1), 0.2, 0.2)
-    lam = float(jnp.maximum(lam, 1.0 - lam))
+    lam = float(mixup_lambda(rng, None, 0.2))
 
     def direct_loss(p):
         img = batch["image"].reshape(num_micro, mb, *batch["image"].shape[1:])

@@ -110,3 +110,40 @@ def test_extra_losses_through_train_step():
         assert "triplet_loss" in m
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_mixup_lambda_varies_without_stable_random():
+    """rng=None (stable_random off) must still draw a fresh lambda per step
+    (code-review finding: a fixed key froze lambda for the whole run)."""
+    from simseg_tpu.engine.train_step import mixup_lambda
+
+    lams = {float(mixup_lambda(None, s, 0.2)) for s in range(6)}
+    assert len(lams) > 1
+    # and with a provided rng, the lambda key never collides with the BSGS
+    # per-micro dropout keys (fold tag outside the micro index range)
+    import jax
+    from simseg_tpu.engine.train_step import MIXUP_FOLD_TAG
+
+    assert MIXUP_FOLD_TAG > 4096
+    a = float(mixup_lambda(jax.random.key(3), None, 0.2))
+    assert 0.5 <= a <= 1.0
+
+
+def test_bsgs_rejects_unsupported_loss(toy_like_cfg=None):
+    """runner.name='clip_bsgs' with a non-(Mixup)NCE loss must refuse loudly
+    instead of silently training plain InfoNCE (code-review finding)."""
+    from simseg_tpu.config import new_base_cfg, update_cfg
+    from simseg_tpu.core.runner import CLIPRunner
+    from simseg_tpu.tasks.clip.config import task_cfg_init_fn
+
+    cfg = update_cfg(task_cfg_init_fn, None, argv=[
+        "dist.bf16=false",
+        "runner.name=clip_bsgs",
+        "model.max_length=12",
+        "transforms.input_size=32",
+        "data.batch_size=8",
+        "data.batch_size_train=4",
+        "loss.name=Triplet",
+    ], target=new_base_cfg())
+    with pytest.raises(NotImplementedError, match="Triplet"):
+        CLIPRunner(cfg, tiny_clip(), {"train": [], "val": []})
