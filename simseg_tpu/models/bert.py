@@ -61,6 +61,7 @@ class BertEncoder(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "none"  # none | dots (see models/vit.py)
 
     @nn.compact
     def __call__(
@@ -92,7 +93,10 @@ class BertEncoder(nn.Module):
 
         layer_cls = BertLayer
         if self.remat:
-            layer_cls = nn.remat(BertLayer, static_argnums=(3,))
+            from simseg_tpu.models.vit import _remat_policy
+
+            layer_cls = nn.remat(BertLayer, static_argnums=(3,),
+                                 policy=_remat_policy(self.remat_policy))
         for i in range(self.depth):
             x = layer_cls(
                 self.num_heads, self.intermediate_dim, self.dropout, self.dtype,
@@ -181,6 +185,8 @@ def resolve_bert_config(tag: str, arch: Optional[dict] = None) -> dict:
 
 
 def build_bert(tag: str, dtype: jnp.dtype = jnp.float32, dropout: float = 0.0,
-               remat: bool = False, arch: Optional[dict] = None) -> BertEncoder:
+               remat: bool = False, arch: Optional[dict] = None,
+               remat_policy: str = "none") -> BertEncoder:
     spec = resolve_bert_config(tag, arch)
-    return BertEncoder(dtype=dtype, dropout=dropout, remat=remat, **spec)
+    return BertEncoder(dtype=dtype, dropout=dropout, remat=remat,
+                       remat_policy=remat_policy, **spec)

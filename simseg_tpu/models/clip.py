@@ -59,6 +59,7 @@ class CLIPModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
     remat: bool = False
+    remat_policy: str = "none"
 
     def setup(self) -> None:
         # tag dispatch mirrors the reference's ImageEncoder kwargs logic
@@ -68,7 +69,8 @@ class CLIPModel(nn.Module):
             self.image_encoder = build_vit(self.image_tag, self.img_size,
                                            self.dtype, self.dropout,
                                            remat=self.remat,
-                                           arch=dict(self.image_arch or ()))
+                                           arch=dict(self.image_arch or ()),
+                                           remat_policy=self.remat_policy)
         else:
             from simseg_tpu.models.resnet import build_resnet
 
@@ -76,7 +78,8 @@ class CLIPModel(nn.Module):
                                               arch=dict(self.image_arch or ()))
         self.text_encoder = build_bert(self.text_tag, self.dtype, self.dropout,
                                        remat=self.remat,
-                                       arch=dict(self.text_arch or ()))
+                                       arch=dict(self.text_arch or ()),
+                                       remat_policy=self.remat_policy)
         proj = {
             "simple": lambda name: SimpleProjection(self.projection_dim, self.dtype,
                                                     name=name),
@@ -236,6 +239,7 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None) -> CLIPModel:
         temperature_init=cfg.loss.temperature.value,
         dtype=dtype,
         remat=m.get("remat", False),
+        remat_policy=m.get("remat_policy", "none"),
     )
 
 

@@ -26,6 +26,16 @@ import jax.numpy as jnp
 from simseg_tpu.ops.attention import multi_head_attention
 
 
+def _remat_policy(name: str):
+    import jax
+
+    if name in (None, "none", ""):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise NotImplementedError(f"remat_policy '{name}'")
+
+
 class ViTMlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -101,8 +111,13 @@ class VisionTransformer(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     # rematerialize block activations in the backward pass (trade FLOPs for
-    # HBM — enables the reference's 1024+ contrastive batches on one chip)
+    # HBM — enables the reference's 1024+ contrastive batches on one chip).
+    # remat_policy 'dots' saves matmul outputs and recomputes only the
+    # cheap elementwise ops (jax.checkpoint_policies
+    # .dots_with_no_batch_dims_saveable) — much faster backward than full
+    # remat at moderate extra memory
     remat: bool = False
+    remat_policy: str = "none"  # none | dots
 
     @property
     def grid_size(self) -> int:
@@ -151,7 +166,8 @@ class VisionTransformer(nn.Module):
         if self.remat:
             import flax.linen as nn_mod
 
-            block_cls = nn_mod.remat(ViTBlock, static_argnums=(2,))
+            block_cls = nn_mod.remat(ViTBlock, static_argnums=(2,),
+                                     policy=_remat_policy(self.remat_policy))
         for i in range(self.depth):
             x = block_cls(
                 self.num_heads, self.mlp_ratio, self.dropout, self.dtype, name=f"blocks_{i}"
@@ -224,7 +240,8 @@ def resolve_vit_config(tag: str, arch: Optional[dict] = None) -> dict:
 
 def build_vit(tag: str, img_size: int, dtype: jnp.dtype = jnp.float32,
               dropout: float = 0.0, remat: bool = False,
-              arch: Optional[dict] = None) -> VisionTransformer:
+              arch: Optional[dict] = None,
+              remat_policy: str = "none") -> VisionTransformer:
     spec = resolve_vit_config(tag, arch)
     return VisionTransformer(img_size=img_size, dtype=dtype, dropout=dropout,
-                             remat=remat, **spec)
+                             remat=remat, remat_policy=remat_policy, **spec)

@@ -93,6 +93,7 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.model.max_length = 25
     cfg.model.syncbn = True  # no-op on TPU (no BN in ViT); kept for compat
     cfg.model.remat = False  # rematerialize encoder blocks (big-batch training)
+    cfg.model.remat_policy = "none"  # none | dots (save matmuls, recompute elementwise)
     cfg.model.interpolate_pos_embed = False
     cfg.model.freeze_cnn_bn = False
 

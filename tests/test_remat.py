@@ -33,3 +33,26 @@ def test_remat_gradients_identical():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_remat_policy_dots_gradients_identical():
+    """remat_policy='dots' (save matmul outputs, recompute elementwise) must
+    be numerically identical to plain remat and no-remat."""
+    from tests.test_models import tiny_clip
+    from simseg_tpu.engine import clip_loss_fn
+
+    batch = {
+        "image": jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 32, 32, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(np.random.default_rng(1).integers(
+            0, 128, (4, 10)).astype(np.int32)),
+        "attention_mask": jnp.ones((4, 10), jnp.int32),
+    }
+    base = tiny_clip()
+    params = base.init(jax.random.key(0), batch)
+    g0 = jax.grad(lambda p: clip_loss_fn(base, p, batch, None)[0])(params)
+    dots = tiny_clip(remat=True, remat_policy="dots")
+    g1 = jax.grad(lambda p: clip_loss_fn(dots, p, batch, None)[0])(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
