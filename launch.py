@@ -13,6 +13,7 @@ Usage:
 
 import argparse
 import os
+import signal
 import subprocess
 import sys
 
@@ -46,6 +47,19 @@ def main():
         proc = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
         )
+
+        # forward preemption/interrupt to the trainer so its PreemptionHook
+        # can checkpoint and exit cleanly; the launcher keeps teeing until
+        # the child finishes
+        def _forward(signum, frame):
+            try:
+                proc.send_signal(signum)
+            except ProcessLookupError:
+                pass
+
+        signal.signal(signal.SIGTERM, _forward)
+        signal.signal(signal.SIGINT, _forward)
+
         for line in proc.stdout:
             sys.stdout.write(line)
             log.write(line)

@@ -148,11 +148,15 @@ class EpochRunner(BaseRunner):
         from simseg_tpu.core.train_hooks import (
             CheckpointHook,
             LogHook,
+            PreemptionHook,
             ProfileHook,
             WandbHook,
         )
 
         self.register_hook(CheckpointHook(), Priority.LOW)
+        # runs after CheckpointHook's own interval save (higher number =
+        # later) so a preemption save never precedes a same-step interval save
+        self.register_hook(PreemptionHook(), Priority.VERY_LOW)
         self.register_hook(LogHook(), Priority.VERY_LOW)
         if self.cfg.get("profile"):
             self.register_hook(ProfileHook(), Priority.HIGH)

@@ -92,6 +92,18 @@ class LogHook(Hook):
             )
 
 
+def _commit_to_mesh(runner):
+    """Restored checkpoints come back as uncommitted host arrays; commit
+    them to the mesh (replicated) so the first resumed step's input avals
+    match the compiled step's — otherwise the jit cache misses once and the
+    train step recompiles (the same fix as EpochRunner.__init__)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(
+        runner.train_state, NamedSharding(runner.mesh, PartitionSpec())
+    )
+
+
 class CheckpointHook(Hook):
     """Checkpointing with two backends: 'msgpack' (default, single-host
     atomic files) or 'orbax' (multihost-coordinated, async-capable) via
@@ -118,6 +130,7 @@ class CheckpointHook(Hook):
                 runner.train_state, meta = load_checkpoint_orbax(
                     mgr, runner.train_state
                 )
+                runner.train_state = _commit_to_mesh(runner)
                 runner.epoch = int(meta.get("epoch", 0))
                 runner.step = int(meta.get("step", 0))
                 runner.inner_step = int(meta.get("inner_step", 0))
@@ -135,6 +148,7 @@ class CheckpointHook(Hook):
                 runner.train_state, meta = load_checkpoint(
                     cfg.ckpt.dir, runner.train_state
                 )
+                runner.train_state = _commit_to_mesh(runner)
                 runner.epoch = int(meta.get("epoch", 0))
                 runner.step = int(meta.get("step", 0))
                 runner.inner_step = int(meta.get("inner_step", 0))
@@ -202,6 +216,49 @@ class CheckpointHook(Hook):
     def after_run(self, runner) -> None:
         if self._backend(runner) == "orbax" and hasattr(self, "_mgr"):
             self._mgr.wait_until_finished()
+
+
+class PreemptionHook(Hook):
+    """Graceful TPU preemption (beyond the reference, SURVEY.md §5 failure
+    recovery): on SIGTERM — what a reclaimed TPU VM receives — finish the
+    in-flight step, write a step checkpoint through the registered
+    CheckpointHook, and exit 0 so a restarted job auto-resumes mid-epoch.
+
+    Single-SIGTERM semantics: a second SIGTERM falls through to the default
+    handler (immediate kill). Installed per process; on pods each process
+    checkpoints its replicated state (identical content), matching the
+    CheckpointHook's write discipline."""
+
+    def before_run(self, runner) -> None:
+        import signal
+
+        def _handler(signum, frame):
+            runner.state.preempt_requested = True
+            signal.signal(signal.SIGTERM, self._orig)
+            logger.warning(
+                "SIGTERM received — checkpointing after the current step, "
+                "then exiting 0 for auto-resume"
+            )
+
+        self._orig = signal.signal(signal.SIGTERM, _handler)
+
+    def after_train_step(self, runner) -> None:
+        if not runner.state.get("preempt_requested"):
+            return
+        saved = False
+        for hook in runner._hooks:
+            if isinstance(hook, CheckpointHook):
+                hook._save(runner, runner.cfg.ckpt.filename, hook._meta(runner))
+                if runner.cfg.ckpt.get("backend", "msgpack") == "orbax" and \
+                        hasattr(hook, "_mgr"):
+                    hook._mgr.wait_until_finished()
+                saved = True
+        status = "written" if saved else "SKIPPED (no CheckpointHook)"
+        logger.emph(
+            f"Preemption checkpoint {status} at epoch {runner.epoch}, "
+            f"step {runner.step} — exiting"
+        )
+        raise SystemExit(0)
 
 
 class RetrievalEvalHook(Hook):
