@@ -54,7 +54,7 @@ def main() -> None:
     num_classes = 21  # PASCAL VOC label bank
 
     rng = np.random.default_rng(0)
-    batch_size = 32
+    batch_size = 64
     images = jnp.asarray(
         rng.normal(size=(batch_size, 288, 288, 3)).astype(np.float32)
     )
