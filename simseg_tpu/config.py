@@ -44,6 +44,10 @@ def new_base_cfg() -> AttrDict:
     cfg.dist.bf16 = True
     cfg.dist.fp16 = False  # accepted for reference-config compatibility
     cfg.dist.param = OpenDict()
+    # beyond-reference mesh knobs: tensor parallelism (devices per model
+    # replica, parallel/tp.py) and ZeRO-1 optimizer-state sharding
+    cfg.dist.tp_size = 1
+    cfg.dist.zero1 = False
 
     cfg.model = AttrDict()
     cfg.model.name = ""
@@ -54,6 +58,7 @@ def new_base_cfg() -> AttrDict:
     cfg.data.batch_size_val = 1
     cfg.data.train_steps = -1
     cfg.data.val_steps = -1
+    cfg.data.native_decode = True  # C++ decode fast path (data/native.py)
 
     cfg.optim = AttrDict()
     cfg.optim.name = "adamw"

@@ -122,6 +122,9 @@ class EpochRunner(BaseRunner):
         self._norm_std = tuple(cfg.transforms.normalize.std)
         self.outputs: Dict[str, Any] = {}
 
+        # per-leaf state shardings when the step fn runs in factory form
+        # (tensor parallelism / ZeRO-1); None = fully replicated
+        self._state_sharding = None
         self.build_step_fns()
         self.init_hook()
         self.call_hook("init_runner")
@@ -286,6 +289,13 @@ class CLIPRunner(EpochRunner):
         smoothing = cfg.loss.get("smoothing", 0.0)
         group_size = cfg.loss.get("group_size", -1)
         if cfg.runner.name == "clip_bsgs":
+            from simseg_tpu.parallel.mesh import MODEL_AXIS
+
+            if MODEL_AXIS in self.mesh.axis_names or cfg.dist.get("zero1"):
+                raise NotImplementedError(
+                    "runner 'clip_bsgs' does not combine with dist.tp_size>1 "
+                    "or dist.zero1 yet (use runner.name='clip')"
+                )
             loss_name = cfg.loss.get("name", "NCE")
             if loss_name not in ("NCE", "MixUpNCE"):
                 # the analytic two-pass gradients are derived for (mixup-)
@@ -314,7 +324,8 @@ class CLIPRunner(EpochRunner):
                 mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
             )
         else:
-            self._step_fn = make_train_step(
+            zero1 = bool(cfg.dist.get("zero1", False))
+            built = make_train_step(
                 self.model, self.tx, self._set_lr, mesh=self.mesh,
                 smoothing=smoothing,
                 group_size=(group_size if group_size and group_size > 0 else -1),
@@ -324,7 +335,19 @@ class CLIPRunner(EpochRunner):
                 triplet_reduce=cfg.loss.get("triplet_loss", {}).get("reduce_mode", "max"),
                 extra_losses=tuple(cfg.loss.get("extra_losses", []) or ()),
                 bn_training=not cfg.model.get("freeze_cnn_bn", False),
+                shard_opt_state=zero1,
             )
+            from simseg_tpu.parallel.mesh import MODEL_AXIS
+
+            if zero1 or MODEL_AXIS in self.mesh.axis_names:
+                # factory form: the step owns the state placement (TP param
+                # shardings and/or ZeRO-1 optimizer moments)
+                self._step_fn, self.train_state = built(self.train_state)
+                self._state_sharding = jax.tree.map(
+                    lambda x: x.sharding, self.train_state
+                )
+            else:
+                self._step_fn = built
         self._eval_fn = make_eval_step(self.model, self.mesh)
 
     def init_hook(self) -> None:
@@ -378,7 +401,13 @@ class LinearProbRunner(EpochRunner):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from simseg_tpu.models.linear_prob import linear_prob_loss_fn
+        from simseg_tpu.parallel.mesh import MODEL_AXIS
 
+        if MODEL_AXIS in self.mesh.axis_names:
+            raise NotImplementedError(
+                "linear probing is data-parallel only (the encoder is "
+                "frozen and the classifier tiny) — use dist.tp_size=1"
+            )
         smoothing = self.cfg.loss.get("smoothing", 0.0)
         model, tx, set_lr = self.model, self.tx, self._set_lr
 
@@ -398,8 +427,10 @@ class LinearProbRunner(EpochRunner):
                 metrics,
             )
 
+        from simseg_tpu.parallel.mesh import data_sharding
+
         repl = NamedSharding(self.mesh, P())
-        data = NamedSharding(self.mesh, P(self.mesh.axis_names))
+        data = data_sharding(self.mesh)
         self._step_fn = jax.jit(
             step_fn, in_shardings=(repl, data, repl, repl),
             out_shardings=(repl, repl),

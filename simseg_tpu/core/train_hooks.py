@@ -94,14 +94,16 @@ class LogHook(Hook):
 
 def _commit_to_mesh(runner):
     """Restored checkpoints come back as uncommitted host arrays; commit
-    them to the mesh (replicated) so the first resumed step's input avals
+    them to the mesh with the step fn's expected shardings (replicated, or
+    the TP/ZeRO-1 per-leaf tree) so the first resumed step's input avals
     match the compiled step's — otherwise the jit cache misses once and the
     train step recompiles (the same fix as EpochRunner.__init__)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    return jax.device_put(
-        runner.train_state, NamedSharding(runner.mesh, PartitionSpec())
-    )
+    sharding = getattr(runner, "_state_sharding", None)
+    if sharding is None:
+        sharding = NamedSharding(runner.mesh, PartitionSpec())
+    return jax.device_put(runner.train_state, sharding)
 
 
 class CheckpointHook(Hook):

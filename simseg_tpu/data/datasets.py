@@ -74,9 +74,13 @@ class CsvPairDataset:
             caption = process_caption(self.tokenizer, caption)
         enc = self.tokenizer(caption, padding="max_length", truncation=True,
                              max_length=self.max_length)
-        img = Image.open(os.path.join(self.image_base, self.images[index])).convert("RGB")
+        path = os.path.join(self.image_base, self.images[index])
+        if self.mode == "train" and hasattr(self.transforms, "load"):
+            image = self.transforms.load(path)  # native decode fast path
+        else:
+            image = self.transforms(Image.open(path).convert("RGB"))
         sample = {
-            "image": self.transforms(img),
+            "image": image,
             "input_ids": np.asarray(enc["input_ids"][0], np.int32),
             "attention_mask": np.asarray(enc["attention_mask"][0], np.int32),
         }
@@ -178,8 +182,12 @@ class ImageFolderDataset:
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         path, label = self.samples[index]
-        img = Image.open(path).convert("RGB")
-        return {"image": self.transforms(img), "label": np.int64(label)}
+        if (getattr(self.transforms, "mode", "") == "train"
+                and hasattr(self.transforms, "load")):
+            image = self.transforms.load(path)  # native decode fast path
+        else:
+            image = self.transforms(Image.open(path).convert("RGB"))
+        return {"image": image, "label": np.int64(label)}
 
 
 # --------------------------------------------------------------------------

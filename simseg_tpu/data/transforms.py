@@ -304,27 +304,173 @@ class RandomErasing:
 # composition
 # --------------------------------------------------------------------------
 
-def build_transforms(cfg, mode: str = "train") -> Callable[[Image.Image], np.ndarray]:
-    """Compose cfg-listed PIL ops; returns PIL -> uint8 HWC numpy.
-    (Normalization runs on device — see normalize_images.)"""
-    names: Sequence[str] = (
-        cfg.transforms.train_transforms if mode == "train"
-        else cfg.transforms.valid_transforms
-    )
-    ops: List[Callable] = [TRANSFORMS.get(n)(cfg) for n in names]
-    erasing = None
-    if cfg.transforms.random_erasing.reprob > 0 and mode == "train":
-        re_cfg = cfg.transforms.random_erasing
-        erasing = RandomErasing(re_cfg.reprob, re_cfg.remode, re_cfg.recount)
+class TransformPipeline:
+    """Composed cfg-listed PIL ops; callable PIL -> uint8 HWC numpy
+    (normalization runs on device — see normalize_images).
 
-    def fn(img: Image.Image) -> np.ndarray:
-        for op in ops:
+    ``from_bytes(data)`` is the loader fast path: when the native decode
+    library is available (data/native.py) and the leading geometry op is
+    foldable, decode + crop + resample run in C++ (GIL-free, with
+    DCT-domain scaled JPEG decode); any remaining PIL-only ops (autoaug,
+    color jitter, ...) apply on the small post-crop image. Falls back to
+    PIL transparently."""
+
+    def __init__(self, cfg, mode: str):
+        names: Sequence[str] = list(
+            cfg.transforms.train_transforms if mode == "train"
+            else cfg.transforms.valid_transforms
+        )
+        self.names = names
+        self.mode = mode
+        self.ops: List[Callable] = [TRANSFORMS.get(n)(cfg) for n in names]
+        self.erasing = None
+        if cfg.transforms.random_erasing.reprob > 0 and mode == "train":
+            re_cfg = cfg.transforms.random_erasing
+            self.erasing = RandomErasing(re_cfg.reprob, re_cfg.remode,
+                                         re_cfg.recount)
+        # DCT-scaled decode loses sub-LSB fidelity; keep eval decodes exact
+        self._fast_scale = mode == "train"
+        self._head = self._plan_native_head(cfg) if (
+            names and cfg.get("data", {}).get("native_decode", True)
+        ) else None
+
+    # -- PIL path ----------------------------------------------------------
+    def _finish(self, img: Image.Image, start: int = 0) -> np.ndarray:
+        for op in self.ops[start:]:
             img = op(img)
         arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
-        if erasing is not None:
-            arr = (erasing(arr.astype(np.float32) / 255.0) * 255).clip(0, 255).astype(np.uint8)
+        return self._erase(arr)
+
+    def _erase(self, arr: np.ndarray) -> np.ndarray:
+        if self.erasing is not None:
+            arr = (self.erasing(arr.astype(np.float32) / 255.0) * 255
+                   ).clip(0, 255).astype(np.uint8)
         return arr
-    return fn
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        return self._finish(img, 0)
+
+    # -- native path -------------------------------------------------------
+    def _plan_native_head(self, cfg):
+        """Fold the leading geometry op (and an immediately following
+        random_flip) into one native decode call. Returns
+        fn(data, native) -> ((crop|None), (out_w, out_h)|None, filter,
+        n_ops_consumed) or None when the head op is not foldable."""
+        head = self.names[0]
+        fold_flip = len(self.names) > 1 and self.names[1] == "random_flip"
+        t = cfg.transforms
+
+        if head == "resize":
+            size = t.resize.size
+
+            def plan(data, native):
+                return None, (size, size), native.FILTER_BILINEAR, 1
+        elif head == "resize_bicubic":
+            size = t.resize_bicubic.size
+
+            def plan(data, native):
+                w, h = native.image_size(data)
+                if w < h:
+                    nw, nh = size, int(round(h * size / w))
+                else:
+                    nw, nh = int(round(w * size / h)), size
+                return None, (nw, nh), native.FILTER_BICUBIC, 1
+        elif head == "center_crop":
+            size = t.center_crop.size
+
+            def plan(data, native):
+                w, h = native.image_size(data)
+                left = int(round((w - size) / 2.0))
+                top = int(round((h - size) / 2.0))
+                return ((left, top, size, size), (size, size),
+                        native.FILTER_BILINEAR, 1)
+        elif head == "random_crop":
+            size = t.random_crop.size
+
+            def plan(data, native):
+                w, h = native.image_size(data)
+                left = random.randint(0, max(0, w - size))
+                top = random.randint(0, max(0, h - size))
+                return ((left, top, size, size), (size, size),
+                        native.FILTER_BILINEAR, 1)
+        elif head == "random_resize_crop":
+            size = t.random_resize_crop.size
+            scale = tuple(t.random_resize_crop.scale)
+            ratio = (3.0 / 4.0, 4.0 / 3.0)
+
+            def plan(data, native):
+                # identical sampling to the PIL op above (same global rng)
+                w, h = native.image_size(data)
+                area = w * h
+                for _ in range(10):
+                    target = area * random.uniform(*scale)
+                    logr = random.uniform(np.log(ratio[0]), np.log(ratio[1]))
+                    ar = float(np.exp(logr))
+                    cw = int(round((target * ar) ** 0.5))
+                    ch = int(round((target / ar) ** 0.5))
+                    if 0 < cw <= w and 0 < ch <= h:
+                        left = random.randint(0, w - cw)
+                        top = random.randint(0, h - ch)
+                        return ((left, top, cw, ch), (size, size),
+                                native.FILTER_BILINEAR, 1)
+                inr = w / h
+                if inr < ratio[0]:
+                    cw, ch = w, int(round(w / ratio[0]))
+                elif inr > ratio[1]:
+                    cw, ch = int(round(h * ratio[1])), h
+                else:
+                    cw, ch = w, h
+                left = (w - cw) // 2
+                top = (h - ch) // 2
+                return ((left, top, cw, ch), (size, size),
+                        native.FILTER_BILINEAR, 1)
+        else:
+            return None
+
+        if not fold_flip:
+            return lambda data, native: plan(data, native) + (False,)
+
+        def plan_flip(data, native):
+            crop, out, filt, n = plan(data, native)
+            return crop, out, filt, n + 1, random.random() < 0.5
+
+        return plan_flip
+
+    def from_bytes(self, data: bytes) -> np.ndarray:
+        """Decode raw encoded bytes through the pipeline (native fast path
+        when possible, PIL otherwise)."""
+        from simseg_tpu.data import native
+
+        if self._head is not None and native.available():
+            try:
+                crop, out, filt, consumed, flip = self._head(data, native)
+                arr = native.decode(data, crop=crop, out_size=out, flip=flip,
+                                    filter=filt, fast_scale=self._fast_scale)
+            except ValueError:
+                # unsupported/corrupt encoding: let PIL try
+                from io import BytesIO
+
+                return self._finish(
+                    Image.open(BytesIO(data)).convert("RGB"), 0)
+            if consumed < len(self.ops):
+                return self._finish(Image.fromarray(arr), consumed)
+            return self._erase(arr)
+        from io import BytesIO
+
+        return self._finish(Image.open(BytesIO(data)).convert("RGB"), 0)
+
+    def load(self, path: str) -> np.ndarray:
+        """File -> pipeline (reads bytes once so the native path can sniff
+        and decode without PIL)."""
+        with open(path, "rb") as f:
+            return self.from_bytes(f.read())
+
+
+def build_transforms(cfg, mode: str = "train") -> TransformPipeline:
+    """Compose cfg-listed ops (parity: transforms.py:74-93). Returns a
+    TransformPipeline — callable PIL -> uint8 numpy, with ``from_bytes`` /
+    ``load`` native fast paths."""
+    return TransformPipeline(cfg, mode)
 
 
 def normalize_images(images_u8: jnp.ndarray,

@@ -267,7 +267,9 @@ def make_bsgs_train_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(mesh.axis_names))
+    from simseg_tpu.parallel.mesh import data_sharding
+
+    data = data_sharding(mesh)
     # micro-batches keep the batch dim sharded: (num_micro, mb, ...) reshape
     # preserves the leading-axis layout across devices when mb is divisible
     # by the mesh size, so each scan step is a normal data-parallel forward.

@@ -23,6 +23,8 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from simseg_tpu.parallel.mesh import MODEL_AXIS, batch_axes, data_sharding
+from simseg_tpu.parallel.tp import tp_shardings
 from simseg_tpu.ops.losses import (
     mixup_nce,
     mse_embedding_loss,
@@ -69,8 +71,13 @@ def opt_state_sharding(opt_state, mesh: Mesh, min_size: int = 2**16):
     optimizer replicas per GPU; on TPU the sharded state cuts HBM by
     ~2x params x (1 - 1/n_devices) and XLA inserts the gather around the
     update)."""
-    n = mesh.devices.size
-    axis = mesh.axis_names[-1]
+    # shard over the batch axes (never the tensor-parallel 'model' axis —
+    # TP moments are already split by the mirrored param shardings)
+    axes = batch_axes(mesh)
+    n = 1
+    for ax in axes:
+        n *= mesh.shape[ax]
+    axis = axes if len(axes) > 1 else axes[0]
 
     def spec_of(x):
         shape = getattr(x, "shape", ())
@@ -235,18 +242,55 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(mesh.axis_names))
+    data = data_sharding(mesh)
+    tp = MODEL_AXIS in mesh.axis_names
 
-    if shard_opt_state:
+    if shard_opt_state or tp:
         # factory form: the caller passes the concrete TrainState once so the
         # per-leaf optimizer shardings can be derived from its structure
         def jit_with_state(state_template):
-            sh = TrainState(
-                params=jax.tree.map(lambda _: repl, state_template.params),
-                opt_state=opt_state_sharding(state_template.opt_state, mesh,
-                                             min_size=opt_shard_min_size),
-                step=repl,
-            )
+            if tp:
+                param_sh = tp_shardings(state_template.params, mesh)
+                # optimizer moments mirror the parameter shardings. GSPMD
+                # cannot infer this (zeros_like moments are value-independent
+                # of the params), so match structurally: optax moment leaves
+                # live at paths ending with their param's path (e.g.
+                # 0/trace/params/.../qkv/kernel), shape-checked for safety.
+                def path_str(path):
+                    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                                    for k in path)
+
+                by_path = {}
+                flat_p, _ = jax.tree_util.tree_flatten_with_path(
+                    state_template.params)
+                flat_s = jax.tree.leaves(param_sh)
+                for (path, leaf), sh in zip(flat_p, flat_s):
+                    by_path["/" + path_str(path)] = (getattr(leaf, "shape", ()), sh)
+
+                def opt_spec(path, leaf):
+                    p = "/" + path_str(path)
+                    shape = getattr(leaf, "shape", ())
+                    for pp, (pshape, sh) in by_path.items():
+                        if p.endswith(pp) and shape == pshape:
+                            return sh
+                    return repl
+
+                opt_sh = jax.tree_util.tree_map_with_path(
+                    opt_spec, state_template.opt_state)
+            else:
+                param_sh = jax.tree.map(lambda _: repl, state_template.params)
+                opt_sh = jax.tree.map(lambda _: repl, state_template.opt_state)
+            if shard_opt_state:
+                # ZeRO-1 over the data axis, applied to the leaves the TP
+                # rules left replicated (TP-sharded moments are already
+                # memory-split over 'model')
+                zero_sh = opt_state_sharding(state_template.opt_state, mesh,
+                                             min_size=opt_shard_min_size)
+                opt_sh = jax.tree.map(
+                    lambda cur, z: z if cur.is_fully_replicated else cur,
+                    opt_sh, zero_sh,
+                )
+            sh = TrainState(params=param_sh, opt_state=opt_sh, step=repl)
             fn = jax.jit(
                 step_fn,
                 in_shardings=(sh, data, repl, repl),
@@ -276,6 +320,7 @@ def make_eval_step(model, mesh: Optional[Mesh] = None):
 
     if mesh is None:
         return jax.jit(eval_fn)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(mesh.axis_names))
-    return jax.jit(eval_fn, in_shardings=(repl, data), out_shardings=(data, data))
+    data = data_sharding(mesh)
+    # params in_sharding is left None so a TP-committed param tree keeps its
+    # sharding instead of being gathered to replicas on every eval call
+    return jax.jit(eval_fn, in_shardings=(None, data), out_shardings=(data, data))

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 REPLICA_AXIS = "replica"
+MODEL_AXIS = "model"
 
 
 def init_distributed() -> None:
@@ -70,28 +71,51 @@ def init_distributed() -> None:
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     group_size: int = -1,
+    tp_size: int = 1,
 ) -> Mesh:
-    """Build a 1-D data mesh, or a ('replica', 'data') mesh when the
-    contrastive gather is limited to groups of ``group_size`` devices.
+    """Build a 1-D data mesh, a ('replica', 'data') mesh when the
+    contrastive gather is limited to groups of ``group_size`` devices, or a
+    (..., 'model') mesh when ``tp_size`` > 1 devices cooperate on each model
+    replica (tensor parallelism, see parallel/tp.py).
 
     With group_size <= 0 (reference default: gather over the world) the mesh
     is Mesh(devices, ('data',)). Otherwise devices are folded into
     (n_groups, group_size) with the gather axis innermost so the all-gather
-    stays on the densest ICI links.
+    stays on the densest ICI links. The 'model' axis is always innermost —
+    the per-block TP collectives (psum of row-parallel partials) are the
+    most latency-sensitive traffic, so they get the densest links.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if group_size is None or group_size <= 0 or group_size >= n:
-        return Mesh(np.array(devices), (DATA_AXIS,))
-    if n % group_size != 0:
-        raise ValueError(f"group_size {group_size} must divide device count {n}")
-    arr = np.array(devices).reshape(n // group_size, group_size)
-    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS))
+    tp = int(tp_size) if tp_size and tp_size > 1 else 1
+    if tp > 1 and n % tp != 0:
+        raise ValueError(f"tp_size {tp} must divide device count {n}")
+    n_data = n // tp
+    if group_size is None or group_size <= 0 or group_size >= n_data:
+        if tp == 1:
+            return Mesh(np.array(devices), (DATA_AXIS,))
+        arr = np.array(devices).reshape(n_data, tp)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    if n_data % group_size != 0:
+        raise ValueError(
+            f"group_size {group_size} must divide data-parallel size {n_data}"
+        )
+    if tp == 1:
+        arr = np.array(devices).reshape(n_data // group_size, group_size)
+        return Mesh(arr, (REPLICA_AXIS, DATA_AXIS))
+    arr = np.array(devices).reshape(n_data // group_size, group_size, tp)
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the batch dim is sharded over (every axis except 'model' —
+    each tensor-parallel group works on the same examples)."""
+    return tuple(ax for ax in mesh.axis_names if ax != MODEL_AXIS)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over every mesh axis."""
-    return NamedSharding(mesh, P(mesh.axis_names))
+    """Shard the leading (batch) dim over the data axes of the mesh."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -130,11 +154,19 @@ def device_prefetch(iterator, mesh: Mesh, size: int = 2):
         yield queue.popleft()
 
 
+def batch_shards(mesh: Mesh) -> int:
+    """Number of ways the batch dim is split (product of data-axis sizes)."""
+    n = 1
+    for ax in batch_axes(mesh):
+        n *= mesh.shape[ax]
+    return n
+
+
 def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
-    n = mesh.devices.size
+    n = batch_shards(mesh)
     if global_batch_size % n != 0:
         raise ValueError(
             f"global batch size {global_batch_size} not divisible by "
-            f"device count {n}"
+            f"batch shard count {n}"
         )
     return global_batch_size // n

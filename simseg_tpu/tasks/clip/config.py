@@ -42,6 +42,8 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.dist.param = OpenDict()
     cfg.dist.bf16 = True
     cfg.dist.fp16 = False  # accepted from reference configs; implies bf16 on TPU
+    cfg.dist.tp_size = 1  # tensor parallelism (beyond reference, parallel/tp.py)
+    cfg.dist.zero1 = False  # ZeRO-1 optimizer-state sharding over 'data'
 
     cfg.optim.name = "torch.optim.AdamW"
     cfg.optim.param = OpenDict(betas=(0.9, 0.98), eps=1e-6, weight_decay=0.1)
@@ -63,6 +65,7 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.data.batch_size_train = 128  # BSGS micro-batch size
     cfg.data.batch_size_val = 256
     cfg.data.num_workers = 8
+    cfg.data.native_decode = True  # C++ decode fast path (data/native.py)
     cfg.data.enable_valid = True
     cfg.data.single_eval = True
     cfg.data.cuda_eval = True  # accepted for reference-config compat (no-op)

@@ -38,7 +38,8 @@ def main():
     from simseg_tpu.parallel import init_distributed, make_mesh
 
     init_distributed()
-    mesh = make_mesh(group_size=cfg.loss.get("group_size", -1))
+    mesh = make_mesh(group_size=cfg.loss.get("group_size", -1),
+                     tp_size=cfg.dist.get("tp_size", 1))
     logger.emph(f"Mesh: {mesh}")
 
     from simseg_tpu.core.runner import CLIPRunner
