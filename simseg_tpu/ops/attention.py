@@ -1,10 +1,9 @@
 """Multi-head attention core.
 
-One fused einsum chain that XLA lowers straight onto the MXU. A Pallas
-flash-attention kernel is available behind ``use_flash`` for long sequences;
-for the reference workloads (<=325 image tokens, 25 text tokens) the
-materialized-scores path is faster because the whole score tile fits in VMEM
-after XLA fusion.
+Two lowerings: a fused einsum chain XLA maps onto the MXU (exact-parity f32
+lane, and the masked BERT path), and a VMEM-resident Pallas kernel
+(ops/flash_attention.py) for the bias-free bf16 ViT path, where it removes
+the (B, H, T, T) score tensor's HBM round trips.
 """
 
 from __future__ import annotations
@@ -22,11 +21,17 @@ def multi_head_attention(
     num_heads: int,
     attention_bias: Optional[jnp.ndarray] = None,
     dtype: jnp.dtype = jnp.float32,
+    use_flash: str = "auto",
 ) -> jnp.ndarray:
     """q, k, v: (B, T, D) with D = num_heads * head_dim.
 
     attention_bias: optional additive bias broadcastable to (B, H, Tq, Tk)
     (used for padding masks). Returns (B, T, D).
+
+    use_flash: 'auto' routes the bias-free bf16 mid-length case (the ViT
+    towers) through the VMEM-resident Pallas kernel
+    (ops/flash_attention.py); 'never' keeps the einsum path; 'interpret'
+    forces the kernel in interpreter mode (CPU tests).
     """
     b, tq, d = q.shape
     tk = k.shape[1]
@@ -43,6 +48,16 @@ def multi_head_attention(
     # dtype — multiplying the (B,H,Tq,Tk) scores by an f32 scalar would
     # silently promote the whole score tensor to f32
     qh = qh * jnp.asarray(hd, jnp.float32).astype(qh.dtype) ** -0.5
+
+    if use_flash != "never":
+        from simseg_tpu.ops.flash_attention import flash_mha, flash_supported
+
+        if use_flash == "interpret":
+            out = flash_mha(qh, kh, vh, True)
+            return out.reshape(b, tq, d).astype(dtype)
+        if flash_supported(tq, tk, hd, dtype, attention_bias):
+            out = flash_mha(qh, kh, vh, False)
+            return out.reshape(b, tq, d).astype(dtype)
 
     # scores accumulate in the compute dtype on the MXU (bf16 in the bf16
     # policy)

@@ -1,0 +1,88 @@
+"""VMEM-resident attention kernel (ops/flash_attention.py) vs the einsum
+path, in interpreter mode on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simseg_tpu.ops.attention import multi_head_attention
+from simseg_tpu.ops.flash_attention import flash_supported
+
+
+def _qkv(b=2, t=325, d=192, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+        for _ in range(3)
+    )
+
+
+def test_forward_matches_einsum():
+    q, k, v = _qkv()
+    ref = multi_head_attention(q, k, v, 3, dtype=jnp.bfloat16,
+                               use_flash="never").astype(jnp.float32)
+    out = multi_head_attention(q, k, v, 3, dtype=jnp.bfloat16,
+                               use_flash="interpret").astype(jnp.float32)
+    # kernel softmax normalizes in f32 (einsum path divides in bf16):
+    # agreement to 1-2 bf16 ulps
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_gradients_match_einsum():
+    q, k, v = _qkv(t=256)
+
+    def loss(path, q, k, v):
+        o = multi_head_attention(q, k, v, 3, dtype=jnp.bfloat16,
+                                 use_flash=path).astype(jnp.float32)
+        return jnp.sum(o * o)
+
+    g_ref = jax.grad(lambda *a: loss("never", *a), argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(lambda *a: loss("interpret", *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_out):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
+
+
+def test_supported_gating():
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    # CPU backend in tests -> always False via the backend leg; check the
+    # shape/dtype legs directly
+    assert not flash_supported(1297, 1297, 64, f32, None)  # f32 parity lane
+    assert not flash_supported(25, 25, 64, bf16, None)  # too short (BERT)
+    assert not flash_supported(325, 325, 64, bf16, None)  # einsum wins here
+    assert not flash_supported(1297, 1297, 48, bf16, None)  # lane-misaligned
+    assert not flash_supported(1297, 1297, 64, bf16, jnp.zeros((1, 1, 1, 1297)))
+    assert not flash_supported(4096, 4096, 64, bf16, None)  # > VMEM tile
+
+
+def test_vit_block_equivalence_through_kernel():
+    """A whole ViT forward agrees between the two attention lowerings."""
+    from simseg_tpu.models.vit import build_vit
+    import simseg_tpu.models.vit as vitmod
+
+    model = build_vit("vit_test", 64, dtype=jnp.bfloat16)  # T = 64+1 -> short
+    # vit_test @64px gives T=65 (< flash threshold); use a bigger grid so
+    # the kernel gate would trigger on TPU. Here we force interpret mode by
+    # patching the call site.
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), imgs)
+    ref = model.apply(params, imgs).astype(jnp.float32)
+
+    orig = vitmod.multi_head_attention
+
+    def patched(q, k, v, h, attention_bias=None, dtype=jnp.float32):
+        return orig(q, k, v, h, attention_bias, dtype, use_flash="interpret")
+
+    vitmod.multi_head_attention = patched
+    try:
+        out = model.apply(params, imgs).astype(jnp.float32)
+    finally:
+        vitmod.multi_head_attention = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
