@@ -48,6 +48,7 @@ def new_base_cfg() -> AttrDict:
     # replica, parallel/tp.py) and ZeRO-1 optimizer-state sharding
     cfg.dist.tp_size = 1
     cfg.dist.zero1 = False
+    cfg.dist.sp = False  # sequence-parallel residual stream (needs tp_size>1)
 
     cfg.model = AttrDict()
     cfg.model.name = ""

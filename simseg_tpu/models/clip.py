@@ -60,6 +60,9 @@ class CLIPModel(nn.Module):
     dropout: float = 0.0
     remat: bool = False
     remat_policy: str = "none"
+    # sequence-parallel residual-stream sharding for the image tower
+    # (NamedSharding over (B, T, D); see models/vit.py act_sharding)
+    act_sharding: Optional[Any] = None
 
     def setup(self) -> None:
         # tag dispatch mirrors the reference's ImageEncoder kwargs logic
@@ -70,7 +73,8 @@ class CLIPModel(nn.Module):
                                            self.dtype, self.dropout,
                                            remat=self.remat,
                                            arch=dict(self.image_arch or ()),
-                                           remat_policy=self.remat_policy)
+                                           remat_policy=self.remat_policy,
+                                           act_sharding=self.act_sharding)
         else:
             from simseg_tpu.models.resnet import build_resnet
 
@@ -209,11 +213,28 @@ class CLIPModel(nn.Module):
         return img, txt, self.temperature()
 
 
-def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None) -> CLIPModel:
+def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None,
+                     mesh=None) -> CLIPModel:
     """Construct the CLIP pipeline from a config tree
-    (parity: pipelines/clip.py:226-229 registered factory)."""
+    (parity: pipelines/clip.py:226-229 registered factory).
+
+    mesh: when given and cfg.dist.sp is true on a tensor-parallel mesh, the
+    image tower's residual stream is sequence-sharded over 'model'
+    (Megatron-SP via one GSPMD annotation, models/vit.py act_sharding)."""
     if dtype is None:
         dtype = jnp.bfloat16 if cfg.dist.get("bf16", False) else jnp.float32
+    act_sharding = None
+    if mesh is not None and cfg.dist.get("sp", False):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from simseg_tpu.parallel.mesh import MODEL_AXIS, batch_axes
+
+        if MODEL_AXIS not in mesh.axis_names:
+            raise ValueError("dist.sp requires dist.tp_size > 1 (the token "
+                             "dim shards over the tensor-parallel axis)")
+        del batch_axes  # batch dim stays unconstrained: it propagates from
+        # the input sharding, and pinning it would break batch-1 init
+        act_sharding = NamedSharding(mesh, P(None, MODEL_AXIS, None))
     m = cfg.model
 
     def arch_tuple(enc_cfg):
@@ -240,6 +261,7 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None) -> CLIPModel:
         dtype=dtype,
         remat=m.get("remat", False),
         remat_policy=m.get("remat_policy", "none"),
+        act_sharding=act_sharding,
     )
 
 

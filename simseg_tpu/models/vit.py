@@ -18,7 +18,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import re
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -118,6 +118,13 @@ class VisionTransformer(nn.Module):
     # remat at moderate extra memory
     remat: bool = False
     remat_policy: str = "none"  # none | dots
+    # sequence parallelism (beyond reference): a NamedSharding for the
+    # (B, T, D) residual stream, token dim sharded over the tensor-parallel
+    # 'model' mesh axis. Constraining between blocks lets GSPMD run the
+    # LayerNorm/residual elementwise work token-sharded and place the
+    # all-gather (into qkv) / reduce-scatter (after proj) at the block
+    # boundaries — Megatron-SP, derived by the compiler from one annotation.
+    act_sharding: Optional[Any] = None
 
     @property
     def grid_size(self) -> int:
@@ -168,10 +175,22 @@ class VisionTransformer(nn.Module):
 
             block_cls = nn_mod.remat(ViTBlock, static_argnums=(2,),
                                      policy=_remat_policy(self.remat_policy))
+        import jax
+
+        def constrain(y):
+            # only under jit: the compiler pads an indivisible token dim
+            # (T=325 over tp=2), while in eager (model.init) the constraint
+            # would be a strict device_put and reject it
+            if self.act_sharding is not None and isinstance(y, jax.core.Tracer):
+                return jax.lax.with_sharding_constraint(y, self.act_sharding)
+            return y
+
+        x = constrain(x)
         for i in range(self.depth):
             x = block_cls(
                 self.num_heads, self.mlp_ratio, self.dropout, self.dtype, name=f"blocks_{i}"
             )(x, deterministic)
+            x = constrain(x)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x
@@ -241,7 +260,9 @@ def resolve_vit_config(tag: str, arch: Optional[dict] = None) -> dict:
 def build_vit(tag: str, img_size: int, dtype: jnp.dtype = jnp.float32,
               dropout: float = 0.0, remat: bool = False,
               arch: Optional[dict] = None,
-              remat_policy: str = "none") -> VisionTransformer:
+              remat_policy: str = "none",
+              act_sharding=None) -> VisionTransformer:
     spec = resolve_vit_config(tag, arch)
     return VisionTransformer(img_size=img_size, dtype=dtype, dropout=dropout,
-                             remat=remat, remat_policy=remat_policy, **spec)
+                             remat=remat, remat_policy=remat_policy,
+                             act_sharding=act_sharding, **spec)

@@ -50,7 +50,7 @@ def main():
     tokenizer = build_tokenizer(
         cfg.model.text_encoder.tag, vocab_file=args.vocab_file or None
     )
-    model = build_clip_model(cfg)
+    model = build_clip_model(cfg, mesh=mesh)
     loaders = build_clip_dataloaders(cfg, tokenizer=tokenizer)
 
     if cfg.runner.name not in ("clip", "clip_bsgs"):

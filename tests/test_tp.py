@@ -168,3 +168,46 @@ def test_tp_eval_step_keeps_param_sharding():
     img, txt = eval_step(placed, shard_batch(batch, mesh))
     assert img.shape == (8, 16) and txt.shape == (8, 16)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sp_step_matches_dp():
+    """Sequence-parallel residual stream (act_sharding) on a TP mesh ==
+    plain DP numerics."""
+    from jax.sharding import NamedSharding
+
+    model = tiny_clip()
+    batch = _batch(16)
+    params = model.init(jax.random.key(0), batch)
+    cfg = _cfg()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = AttrDict(momentum=0.0)
+
+    dp_mesh = make_mesh()
+    tx1, set_lr1 = build_optimizer(cfg, params)
+    s1 = TrainState.create(params, tx1)
+    step1 = make_train_step(model, tx1, set_lr1, mesh=dp_mesh, donate=False)
+
+    mesh = make_mesh(tp_size=2)
+    sp_model = model.clone(act_sharding=NamedSharding(
+        mesh, P(None, MODEL_AXIS, None)))
+    tx2, set_lr2 = build_optimizer(cfg, params)
+    factory = make_train_step(sp_model, tx2, set_lr2, mesh=mesh, donate=False)
+    step2, s2 = factory(TrainState.create(params, tx2))
+
+    for _ in range(2):
+        s1, m1 = step1(s1, shard_batch(batch, dp_mesh), None, 1e-3)
+        s2, m2 = step2(s2, shard_batch(batch, mesh), None, 1e-3)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-6)
+
+
+def test_sp_requires_tp_in_factory():
+    from simseg_tpu.models.clip import build_clip_model
+    from simseg_tpu.utils.collections import AttrDict as AD
+
+    cfg = AD()
+    cfg.dist = AD(sp=True, bf16=False)
+    with pytest.raises(ValueError, match="tp_size"):
+        build_clip_model(cfg, mesh=make_mesh())
