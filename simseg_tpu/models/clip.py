@@ -227,13 +227,13 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None,
     if mesh is not None and cfg.dist.get("sp", False):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from simseg_tpu.parallel.mesh import MODEL_AXIS, batch_axes
+        from simseg_tpu.parallel.mesh import MODEL_AXIS
 
         if MODEL_AXIS not in mesh.axis_names:
             raise ValueError("dist.sp requires dist.tp_size > 1 (the token "
                              "dim shards over the tensor-parallel axis)")
-        del batch_axes  # batch dim stays unconstrained: it propagates from
-        # the input sharding, and pinning it would break batch-1 init
+        # batch dim stays unconstrained: it propagates from the input
+        # sharding, and pinning it would break batch-1 init
         act_sharding = NamedSharding(mesh, P(None, MODEL_AXIS, None))
     m = cfg.model
 
