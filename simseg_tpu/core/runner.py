@@ -291,10 +291,10 @@ class CLIPRunner(EpochRunner):
         if cfg.runner.name == "clip_bsgs":
             from simseg_tpu.parallel.mesh import MODEL_AXIS
 
-            if MODEL_AXIS in self.mesh.axis_names or cfg.dist.get("zero1"):
+            if MODEL_AXIS in self.mesh.axis_names:
                 raise NotImplementedError(
                     "runner 'clip_bsgs' does not combine with dist.tp_size>1 "
-                    "or dist.zero1 yet (use runner.name='clip')"
+                    "yet (use runner.name='clip')"
                 )
             loss_name = cfg.loss.get("name", "NCE")
             if loss_name not in ("NCE", "MixUpNCE"):
@@ -316,13 +316,22 @@ class CLIPRunner(EpochRunner):
                     "runner.name='clip'"
                 )
             num_micro = max(1, cfg.data.batch_size // cfg.data.batch_size_train)
-            self._step_fn = make_bsgs_train_step(
+            zero1 = bool(cfg.dist.get("zero1", False))
+            built = make_bsgs_train_step(
                 self.model, self.tx, self._set_lr, num_micro=num_micro,
                 mesh=self.mesh, smoothing=smoothing,
                 group_size=(group_size if group_size and group_size > 0 else -1),
                 mixup=loss_name == "MixUpNCE",
                 mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
+                shard_opt_state=zero1,
             )
+            if zero1:
+                self._step_fn, self.train_state = built(self.train_state)
+                self._state_sharding = jax.tree.map(
+                    lambda x: x.sharding, self.train_state
+                )
+            else:
+                self._step_fn = built
         else:
             zero1 = bool(cfg.dist.get("zero1", False))
             built = make_train_step(

@@ -241,9 +241,15 @@ def make_bsgs_train_step(
     mixup: bool = False,
     mixup_alpha_param: float = 0.2,
     donate: bool = True,
+    shard_opt_state: bool = False,
+    opt_shard_min_size: int = 2**16,
 ):
     """Full BSGS train step (grad fn + optimizer), jitted; mirrors
-    make_train_step's contract."""
+    make_train_step's contract — including the ZeRO-1 factory form
+    (shard_opt_state=True -> factory(state) -> (step_fn, placed_state)),
+    the natural pairing since BSGS exists to push the contrastive batch far
+    past per-chip memory and the replicated AdamW moments are then the next
+    thing to shard."""
     grad_fn = make_bsgs_grad_fn(model, num_micro, smoothing,
                                 group_size=group_size, mixup=mixup,
                                 mixup_alpha_param=mixup_alpha_param)
@@ -273,6 +279,26 @@ def make_bsgs_train_step(
     # micro-batches keep the batch dim sharded: (num_micro, mb, ...) reshape
     # preserves the leading-axis layout across devices when mb is divisible
     # by the mesh size, so each scan step is a normal data-parallel forward.
+    if shard_opt_state:
+        from simseg_tpu.engine.train_step import opt_state_sharding
+
+        def jit_with_state(state_template):
+            sh = TrainState(
+                params=jax.tree.map(lambda _: repl, state_template.params),
+                opt_state=opt_state_sharding(state_template.opt_state, mesh,
+                                             min_size=opt_shard_min_size),
+                step=repl,
+            )
+            fn = jax.jit(
+                step_fn,
+                in_shardings=(sh, data, repl, repl),
+                out_shardings=(sh, repl),
+                donate_argnums=(0,) if donate else (),
+            )
+            return fn, jax.device_put(state_template, sh)
+
+        return jit_with_state
+
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl, repl),

@@ -62,3 +62,43 @@ def test_zero1_matches_replicated():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_bsgs_zero1_matches_replicated():
+    """BSGS factory form (shard_opt_state=True): numerics identical to the
+    replicated BSGS step, moments actually sharded."""
+    from simseg_tpu.engine.bsgs import make_bsgs_train_step
+
+    model = tiny_clip()
+    batch = _batch(16)
+    params = model.init(jax.random.key(0), batch)
+    cfg = _cfg()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = AttrDict(momentum=0.9)
+    mesh = make_mesh()
+    sharded_batch = shard_batch(batch, mesh)
+
+    tx1, set_lr1 = build_optimizer(cfg, params)
+    s1 = TrainState.create(params, tx1)
+    step1 = make_bsgs_train_step(model, tx1, set_lr1, num_micro=2, mesh=mesh,
+                                 donate=False)
+
+    tx2, set_lr2 = build_optimizer(cfg, params)
+    factory = make_bsgs_train_step(model, tx2, set_lr2, num_micro=2,
+                                   mesh=mesh, donate=False,
+                                   shard_opt_state=True,
+                                   opt_shard_min_size=512)
+    step2, s2 = factory(TrainState.create(params, tx2))
+
+    assert any(
+        not x.sharding.is_fully_replicated
+        for x in jax.tree.leaves(s2.opt_state) if hasattr(x, "sharding")
+    )
+    for _ in range(2):
+        s1, m1 = step1(s1, sharded_batch, None, 1e-3)
+        s2, m2 = step2(s2, sharded_batch, None, 1e-3)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
