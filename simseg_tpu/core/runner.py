@@ -79,12 +79,16 @@ class EpochRunner(BaseRunner):
         self.val_interval = cfg.runner.val_interval
         self.val_interval_steps = cfg.runner.val_interval_steps
 
-        # batch divisibility guard (parity: core/initial.py:68-72)
-        n_dev = self.mesh.devices.size
-        if self.train_loaders and cfg.data.batch_size % n_dev != 0:
+        # batch divisibility guard (parity: core/initial.py:68-72). The
+        # batch is split batch_shards(mesh) ways — under tensor parallelism
+        # that's fewer than the device count (each TP group shares examples)
+        from simseg_tpu.parallel.mesh import batch_shards
+
+        n_shards = batch_shards(self.mesh)
+        if self.train_loaders and cfg.data.batch_size % n_shards != 0:
             raise ValueError(
                 f"data.batch_size {cfg.data.batch_size} must be divisible by "
-                f"the device count {n_dev}"
+                f"the batch shard count {n_shards}"
             )
 
         # steps math (parity: epoch_runner.py:39-65)
@@ -107,15 +111,6 @@ class EpochRunner(BaseRunner):
         self.tx = tx
         self._set_lr = set_lr
         self.train_state = TrainState.create(params, tx)
-        # commit the initial state to the mesh (replicated) so the first
-        # step's input avals carry the same sharding as the step's output;
-        # otherwise the jit cache misses after step 0 and the train step
-        # compiles TWICE (20-90s each on TPU)
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        self.train_state = jax.device_put(
-            self.train_state, NamedSharding(self.mesh, PartitionSpec())
-        )
         self.lr_schedule = build_schedule(cfg, self.total_steps)
 
         self._norm_mean = tuple(cfg.transforms.normalize.mean)
@@ -123,9 +118,21 @@ class EpochRunner(BaseRunner):
         self.outputs: Dict[str, Any] = {}
 
         # per-leaf state shardings when the step fn runs in factory form
-        # (tensor parallelism / ZeRO-1); None = fully replicated
+        # (tensor parallelism / ZeRO-1); None = fully replicated. The
+        # factory places the state itself (directly into the sharded
+        # layout — a replicated commit first would peak at the full
+        # unsharded state per device, defeating ZeRO-1 exactly when it is
+        # needed); the replicated commit below covers the plain-DP path so
+        # the first step's input avals match the step's output and the jit
+        # cache doesn't miss once (a 20-90s recompile on TPU).
         self._state_sharding = None
         self.build_step_fns()
+        if self._state_sharding is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.train_state = jax.device_put(
+                self.train_state, NamedSharding(self.mesh, PartitionSpec())
+            )
         self.init_hook()
         self.call_hook("init_runner")
 
@@ -284,13 +291,22 @@ class CLIPRunner(EpochRunner):
         }
         return self.model.init(rng, dummy)
 
+    def _adopt_step_factory(self, factory) -> None:
+        """Invoke a step-fn factory (TP and/or ZeRO-1 form): it places the
+        state with its per-leaf shardings and returns the jitted step."""
+        self._step_fn, self.train_state = factory(self.train_state)
+        self._state_sharding = jax.tree.map(
+            lambda x: x.sharding, self.train_state
+        )
+
     def build_step_fns(self) -> None:
+        from simseg_tpu.parallel.mesh import MODEL_AXIS
+
         cfg = self.cfg
         smoothing = cfg.loss.get("smoothing", 0.0)
         group_size = cfg.loss.get("group_size", -1)
+        zero1 = bool(cfg.dist.get("zero1", False))
         if cfg.runner.name == "clip_bsgs":
-            from simseg_tpu.parallel.mesh import MODEL_AXIS
-
             if MODEL_AXIS in self.mesh.axis_names:
                 raise NotImplementedError(
                     "runner 'clip_bsgs' does not combine with dist.tp_size>1 "
@@ -316,7 +332,6 @@ class CLIPRunner(EpochRunner):
                     "runner.name='clip'"
                 )
             num_micro = max(1, cfg.data.batch_size // cfg.data.batch_size_train)
-            zero1 = bool(cfg.dist.get("zero1", False))
             built = make_bsgs_train_step(
                 self.model, self.tx, self._set_lr, num_micro=num_micro,
                 mesh=self.mesh, smoothing=smoothing,
@@ -326,14 +341,10 @@ class CLIPRunner(EpochRunner):
                 shard_opt_state=zero1,
             )
             if zero1:
-                self._step_fn, self.train_state = built(self.train_state)
-                self._state_sharding = jax.tree.map(
-                    lambda x: x.sharding, self.train_state
-                )
+                self._adopt_step_factory(built)
             else:
                 self._step_fn = built
         else:
-            zero1 = bool(cfg.dist.get("zero1", False))
             built = make_train_step(
                 self.model, self.tx, self._set_lr, mesh=self.mesh,
                 smoothing=smoothing,
@@ -346,15 +357,10 @@ class CLIPRunner(EpochRunner):
                 bn_training=not cfg.model.get("freeze_cnn_bn", False),
                 shard_opt_state=zero1,
             )
-            from simseg_tpu.parallel.mesh import MODEL_AXIS
-
             if zero1 or MODEL_AXIS in self.mesh.axis_names:
                 # factory form: the step owns the state placement (TP param
                 # shardings and/or ZeRO-1 optimizer moments)
-                self._step_fn, self.train_state = built(self.train_state)
-                self._state_sharding = jax.tree.map(
-                    lambda x: x.sharding, self.train_state
-                )
+                self._adopt_step_factory(built)
             else:
                 self._step_fn = built
         self._eval_fn = make_eval_step(self.model, self.mesh)

@@ -152,13 +152,23 @@ bool decode_png(const uint8_t* buf, size_t len, ImageU8* out) {
   memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&image, buf, len)) return false;
-  image.format = PNG_FORMAT_RGB;
+  // read RGBA and strip the alpha channel: PIL's convert('RGB') DROPS
+  // alpha, while libpng's PNG_FORMAT_RGB would composite it away (a
+  // transparent red pixel must stay red, not turn black)
+  image.format = PNG_FORMAT_RGBA;
   out->w = image.width;
   out->h = image.height;
-  out->rgb.resize(PNG_IMAGE_SIZE(image));
-  if (!png_image_finish_read(&image, nullptr, out->rgb.data(), 0, nullptr)) {
+  std::vector<uint8_t> rgba(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, rgba.data(), 0, nullptr)) {
     png_image_free(&image);
     return false;
+  }
+  out->rgb.resize((size_t)out->w * out->h * 3);
+  const size_t n = (size_t)out->w * out->h;
+  for (size_t i = 0; i < n; i++) {
+    out->rgb[3 * i] = rgba[4 * i];
+    out->rgb[3 * i + 1] = rgba[4 * i + 1];
+    out->rgb[3 * i + 2] = rgba[4 * i + 2];
   }
   return true;
 }

@@ -38,8 +38,12 @@ _tried = False
 def _build() -> bool:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return True
+    # compile to a private temp name and rename into place: rename is
+    # atomic, so a concurrent process (multi-host shared checkout) never
+    # dlopens a half-written library
+    tmp = f"{_LIB}.build.{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB,
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp,
         "-ljpeg", "-lpng", "-lwebp", "-pthread",
     ]
     try:
@@ -53,6 +57,10 @@ def _build() -> bool:
             "native decode build failed (falling back to PIL):\n%s", proc.stderr
         )
         return False
+    try:
+        os.replace(tmp, _LIB)
+    except OSError:
+        return os.path.exists(_LIB)
     return True
 
 
@@ -137,7 +145,14 @@ def decode(
     cx, cy, cw, ch = crop if crop is not None else (-1, -1, -1, -1)
     if out_size is None:
         if crop is not None:
-            ow, oh = cw, ch
+            # the C side clamps the box to the image extent and (with no
+            # out_size) emits the CLAMPED dims — size the buffer the same
+            # way or an out-of-bounds crop would garble rows
+            w, h = image_size(data)
+            cx2, cy2 = min(max(cx, 0), w), min(max(cy, 0), h)
+            ow, oh = min(cw, w - cx2), min(ch, h - cy2)
+            if ow <= 0 or oh <= 0:
+                raise ValueError(f"crop {crop} outside image {w}x{h}")
         else:
             ow, oh = image_size(data)
     else:

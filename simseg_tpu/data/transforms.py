@@ -380,6 +380,10 @@ class TransformPipeline:
 
             def plan(data, native):
                 w, h = native.image_size(data)
+                if w < size or h < size:
+                    # PIL pads out-of-bounds crops with black; the native
+                    # decoder would clamp+stretch instead — use PIL
+                    return None
                 left = int(round((w - size) / 2.0))
                 top = int(round((h - size) / 2.0))
                 return ((left, top, size, size), (size, size),
@@ -389,6 +393,8 @@ class TransformPipeline:
 
             def plan(data, native):
                 w, h = native.image_size(data)
+                if w < size or h < size:
+                    return None  # see center_crop: PIL pads, native can't
                 left = random.randint(0, max(0, w - size))
                 top = random.randint(0, max(0, h - size))
                 return ((left, top, size, size), (size, size),
@@ -428,10 +434,17 @@ class TransformPipeline:
             return None
 
         if not fold_flip:
-            return lambda data, native: plan(data, native) + (False,)
+            def plan_noflip(data, native):
+                p = plan(data, native)
+                return None if p is None else p + (False,)
+
+            return plan_noflip
 
         def plan_flip(data, native):
-            crop, out, filt, n = plan(data, native)
+            p = plan(data, native)
+            if p is None:
+                return None
+            crop, out, filt, n = p
             return crop, out, filt, n + 1, random.random() < 0.5
 
         return plan_flip
@@ -443,7 +456,15 @@ class TransformPipeline:
 
         if self._head is not None and native.available():
             try:
-                crop, out, filt, consumed, flip = self._head(data, native)
+                planned = self._head(data, native)
+                if planned is None:
+                    # per-image fallback (e.g. crop larger than the image,
+                    # where PIL pads but the native decoder can't)
+                    from io import BytesIO
+
+                    return self._finish(
+                        Image.open(BytesIO(data)).convert("RGB"), 0)
+                crop, out, filt, consumed, flip = planned
                 arr = native.decode(data, crop=crop, out_size=out, flip=flip,
                                     filter=filt, fast_scale=self._fast_scale)
             except ValueError:

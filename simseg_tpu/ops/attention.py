@@ -49,7 +49,9 @@ def multi_head_attention(
     # silently promote the whole score tensor to f32
     qh = qh * jnp.asarray(hd, jnp.float32).astype(qh.dtype) ** -0.5
 
-    if use_flash != "never":
+    if use_flash != "never" and attention_bias is None:
+        # (the kernel has no bias input — a biased call must use the einsum
+        # path regardless of mode, or padding masks would be dropped)
         from simseg_tpu.ops.flash_attention import flash_mha, flash_supported
 
         if use_flash == "interpret":

@@ -28,8 +28,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# conservative VMEM budget for one (T, T) f32 score tile + q/k/v/o tiles
-_MAX_T = 2048
+# VMEM budget cap: the (T, T) f32 score tile is T^2*4 bytes (6.7 MiB at
+# T=1297, the largest measured-working size) plus q/k/v/o tiles and softmax
+# temporaries; T=2048 would need 16 MiB for the scores alone — the whole
+# per-core VMEM. 1536 (9.4 MiB) is the safe ceiling above the tested range.
+_MAX_T = 1536
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref):

@@ -190,3 +190,62 @@ def test_pipeline_load_from_file(tmp_path):
     p = tmp_path / "x.jpg"
     p.write_bytes(_jpeg(90, 70))
     assert tf.load(str(p)).shape == (64, 64, 3)
+
+
+def test_png_alpha_matches_pil_drop_not_composite():
+    """PIL convert('RGB') DROPS alpha; libpng's RGB format would composite
+    transparent pixels to black. A fully transparent red must stay red."""
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[..., 0] = 255  # red
+    rgba[..., 3] = 0    # fully transparent
+    buf = BytesIO()
+    Image.fromarray(rgba, "RGBA").save(buf, "PNG")
+    data = buf.getvalue()
+    out = native.decode(data)
+    ref = np.asarray(Image.open(BytesIO(data)).convert("RGB"))
+    assert np.array_equal(out, ref)
+    assert out[0, 0, 0] == 255  # red survived
+
+
+def test_out_of_bounds_crop_clamps_buffer():
+    data = _jpeg(64, 48)
+    # crop extends past the right edge: C clamps to 64-50=14 wide
+    out = native.decode(data, crop=(50, 10, 30, 20), fast_scale=False)
+    assert out.shape == (20, 14, 3)
+    ref = np.asarray(_pil(data).crop((50, 10, 64, 30)))
+    assert np.array_equal(out, ref)
+    with pytest.raises(ValueError):
+        native.decode(data, crop=(100, 0, 30, 20), fast_scale=False)
+
+
+def test_pipeline_undersized_crop_falls_back_to_pil():
+    """center_crop larger than the image: PIL pads with black; the native
+    head must bail to PIL rather than stretch."""
+    cfg = _cfg(["center_crop"])
+    cfg.transforms.center_crop = AttrDict(size=40)
+    tf = build_transforms(cfg, "train")
+    data = _jpeg(30, 30)
+    via_pil = tf(_pil(data))
+    via_bytes = tf.from_bytes(data)
+    assert via_bytes.shape == (40, 40, 3)
+    assert np.array_equal(via_pil, via_bytes)
+    # padded border is black in both
+    assert via_bytes[0, 0].tolist() == [0, 0, 0]
+
+
+def test_interpret_mode_respects_bias():
+    """use_flash='interpret' with an attention bias must NOT drop it."""
+    import jax.numpy as jnp
+
+    from simseg_tpu.ops.attention import multi_head_attention, padding_bias
+
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 256, 64)).astype(np.float32),
+                           dtype=jnp.bfloat16) for _ in range(3))
+    mask = np.ones((2, 256), np.int32)
+    mask[:, 200:] = 0
+    bias = padding_bias(jnp.asarray(mask), jnp.float32)
+    ref = multi_head_attention(q, k, v, 1, bias, jnp.bfloat16, "never")
+    out = multi_head_attention(q, k, v, 1, bias, jnp.bfloat16, "interpret")
+    assert np.array_equal(np.asarray(out, np.float32),
+                          np.asarray(ref, np.float32))
