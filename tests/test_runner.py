@@ -246,3 +246,46 @@ def test_runner_orbax_backend(toy_cfg):
     b = jax.tree.leaves(r2.train_state.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+def test_runner_auto_resume_under_tp_zero1(toy_cfg):
+    """Auto-resume on a tensor-parallel mesh with ZeRO-1 moments: the
+    restored state must be re-committed with the step fn's per-leaf
+    shardings (_commit_to_mesh via runner._state_sharding), and training
+    must continue with identical numerics to the uninterrupted run."""
+    from simseg_tpu.parallel import make_mesh
+
+    cfg, tmp_path = toy_cfg
+    cfg.set_immutable(False)
+    cfg.dist.tp_size = 2
+    cfg.dist.zero1 = True
+    from simseg_tpu.utils.collections import AttrDict
+
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = AttrDict(momentum=0.9)
+    cfg.ckpt.dir = str(tmp_path / "out_tp")
+    cfg.set_immutable(True)
+    tok = WordPieceTokenizer(make_test_vocab(["a", "photo", "of", "the",
+                                              "dog", "cat", "car", "tree"]))
+    loaders = build_clip_dataloaders(cfg, tokenizer=tok)
+    mesh = make_mesh(tp_size=2)
+
+    r1 = CLIPRunner(cfg, tiny_model(), loaders, mesh=mesh)
+    # params physically TP-sharded from init (no replicated peak)
+    qkv = r1.train_state.params["params"]["image_encoder"]["blocks_0"][
+        "attn"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    r1.run()
+    final_step = r1.step
+
+    r2 = CLIPRunner(cfg, tiny_model(), loaders, mesh=mesh)
+    r2.call_hook("before_run")
+    assert r2.step == final_step
+    # restored + re-committed state keeps the TP sharding
+    qkv2 = r2.train_state.params["params"]["image_encoder"]["blocks_0"][
+        "attn"]["qkv"]["kernel"]
+    assert not qkv2.sharding.is_fully_replicated
+    for x, y in zip(jax.tree.leaves(r1.train_state.params),
+                    jax.tree.leaves(r2.train_state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
