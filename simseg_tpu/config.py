@@ -49,6 +49,7 @@ def new_base_cfg() -> AttrDict:
     cfg.dist.tp_size = 1
     cfg.dist.zero1 = False
     cfg.dist.sp = False  # sequence-parallel residual stream (needs tp_size>1)
+    cfg.dist.fsdp = False  # ZeRO-3-style fully-sharded params over 'data'
 
     cfg.model = AttrDict()
     cfg.model.name = ""

@@ -306,11 +306,12 @@ class CLIPRunner(EpochRunner):
         smoothing = cfg.loss.get("smoothing", 0.0)
         group_size = cfg.loss.get("group_size", -1)
         zero1 = bool(cfg.dist.get("zero1", False))
+        fsdp = bool(cfg.dist.get("fsdp", False))
         if cfg.runner.name == "clip_bsgs":
-            if MODEL_AXIS in self.mesh.axis_names:
+            if MODEL_AXIS in self.mesh.axis_names or fsdp:
                 raise NotImplementedError(
                     "runner 'clip_bsgs' does not combine with dist.tp_size>1 "
-                    "yet (use runner.name='clip')"
+                    "or dist.fsdp yet (use runner.name='clip')"
                 )
             loss_name = cfg.loss.get("name", "NCE")
             if loss_name not in ("NCE", "MixUpNCE"):
@@ -356,8 +357,9 @@ class CLIPRunner(EpochRunner):
                 extra_losses=tuple(cfg.loss.get("extra_losses", []) or ()),
                 bn_training=not cfg.model.get("freeze_cnn_bn", False),
                 shard_opt_state=zero1,
+                fsdp=fsdp,
             )
-            if zero1 or MODEL_AXIS in self.mesh.axis_names:
+            if zero1 or fsdp or MODEL_AXIS in self.mesh.axis_names:
                 # factory form: the step owns the state placement (TP param
                 # shardings and/or ZeRO-1 optimizer moments)
                 self._adopt_step_factory(built)

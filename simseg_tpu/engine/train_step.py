@@ -204,6 +204,8 @@ def make_train_step(
     loss_name: str = "NCE",
     shard_opt_state: bool = False,
     opt_shard_min_size: int = 2**16,
+    fsdp: bool = False,
+    fsdp_min_size: int = 2**14,
     **loss_kwargs,
 ):
     """Build the jitted train step.
@@ -215,6 +217,11 @@ def make_train_step(
     shard_opt_state: ZeRO-1-style — optimizer moments sharded over the mesh
     (see opt_state_sharding). In this mode the return value is a factory:
     ``factory(state) -> (step_fn, placed_state)``.
+
+    fsdp: ZeRO-3-style fully-sharded parameters over the data axis (see
+    parallel/tp.py fsdp_shardings) — XLA all-gathers weights just-in-time
+    and reduce-scatters gradients; moments follow their param's sharding.
+    Also factory form; composes with tensor parallelism.
     """
 
     def step_fn(state: TrainState, batch, rng, lr):
@@ -245,12 +252,21 @@ def make_train_step(
     data = data_sharding(mesh)
     tp = MODEL_AXIS in mesh.axis_names
 
-    if shard_opt_state or tp:
+    if shard_opt_state or tp or fsdp:
         # factory form: the caller passes the concrete TrainState once so the
         # per-leaf optimizer shardings can be derived from its structure
         def jit_with_state(state_template):
             if tp:
                 param_sh = tp_shardings(state_template.params, mesh)
+            else:
+                param_sh = jax.tree.map(lambda _: repl, state_template.params)
+            if fsdp:
+                from simseg_tpu.parallel.tp import fsdp_shardings
+
+                param_sh = fsdp_shardings(state_template.params, mesh,
+                                          base=param_sh,
+                                          min_size=fsdp_min_size)
+            if tp or fsdp:
                 # optimizer moments mirror the parameter shardings. GSPMD
                 # cannot infer this (zeros_like moments are value-independent
                 # of the params), so match structurally: optax moment leaves
@@ -278,7 +294,6 @@ def make_train_step(
                 opt_sh = jax.tree_util.tree_map_with_path(
                     opt_spec, state_template.opt_state)
             else:
-                param_sh = jax.tree.map(lambda _: repl, state_template.params)
                 opt_sh = jax.tree.map(lambda _: repl, state_template.opt_state)
             if shard_opt_state:
                 # ZeRO-1 over the data axis, applied to the leaves the TP

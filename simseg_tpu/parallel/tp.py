@@ -92,3 +92,41 @@ def tp_shardings(params, mesh: Mesh):
 def place_params_tp(params, mesh: Mesh):
     """Commit the parameter pytree to the mesh with TP shardings."""
     return jax.device_put(params, tp_shardings(params, mesh))
+
+
+def fsdp_shardings(params, mesh: Mesh, base=None, min_size: int = 2**14):
+    """Fully-sharded (ZeRO-3-style) parameter shardings over the data axis.
+
+    Each tensor above ``min_size`` elements gets its largest
+    still-unsharded, divisible dim sharded over 'data'; XLA then
+    all-gathers weights just-in-time in the forward/backward and
+    reduce-scatters the gradients — the GSPMD formulation of FSDP.
+    Composes with tensor parallelism: pass the TP sharding tree as
+    ``base`` and the data axis is added to each leaf's remaining free dim
+    (e.g. a column-parallel qkv kernel becomes P('data', 'model'))."""
+    from simseg_tpu.parallel.mesh import DATA_AXIS
+
+    if DATA_AXIS not in mesh.axis_names:
+        raise ValueError("fsdp_shardings needs a 'data' mesh axis")
+    n = mesh.shape[DATA_AXIS]
+    if base is None:
+        base = jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+
+    def size_of(shape):
+        total = 1
+        for s in shape:
+            total *= s
+        return total
+
+    def upgrade(leaf, sh):
+        shape = getattr(leaf, "shape", ())
+        if not shape or size_of(shape) < min_size:
+            return sh
+        spec = list(sh.spec) + [None] * (len(shape) - len(sh.spec))
+        for dim in sorted(range(len(shape)), key=lambda d: -shape[d]):
+            if spec[dim] is None and shape[dim] % n == 0:
+                spec[dim] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return sh
+
+    return jax.tree.map(upgrade, params, base)

@@ -45,6 +45,7 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.dist.tp_size = 1  # tensor parallelism (beyond reference, parallel/tp.py)
     cfg.dist.zero1 = False  # ZeRO-1 optimizer-state sharding over 'data'
     cfg.dist.sp = False  # sequence-parallel residual stream (needs tp_size>1)
+    cfg.dist.fsdp = False  # ZeRO-3-style fully-sharded params over 'data'
 
     cfg.optim.name = "torch.optim.AdamW"
     cfg.optim.param = OpenDict(betas=(0.9, 0.98), eps=1e-6, weight_decay=0.1)

@@ -211,3 +211,94 @@ def test_sp_requires_tp_in_factory():
     cfg.dist = AD(sp=True, bf16=False)
     with pytest.raises(ValueError, match="tp_size"):
         build_clip_model(cfg, mesh=make_mesh())
+
+
+def test_fsdp_shardings_specs():
+    from simseg_tpu.parallel.tp import fsdp_shardings
+
+    mesh = make_mesh()  # 8-way data
+    params = {"params": {
+        "big": np.zeros((1024, 256), np.float32),
+        "tiny": np.zeros((8,), np.float32),
+        "odd": np.zeros((100001,), np.float32),  # indivisible by 8
+    }}
+    sh = fsdp_shardings(params, mesh, min_size=1024)
+    assert sh["params"]["big"].spec == P("data", None)
+    assert sh["params"]["tiny"].spec == P()
+    assert sh["params"]["odd"].spec == P()
+
+    # composes with TP: a col-parallel kernel gains 'data' on dim 0
+    tpm = make_mesh(tp_size=2)
+    base = {"params": {"blocks_0": {"attn": {"qkv": {
+        "kernel": np.zeros((256, 768), np.float32)}}}}}
+    combined = fsdp_shardings(base, tpm, base=tp_shardings(base, tpm),
+                              min_size=1024)
+    assert combined["params"]["blocks_0"]["attn"]["qkv"]["kernel"].spec == \
+        P("data", MODEL_AXIS)
+
+
+def test_fsdp_step_matches_dp():
+    """ZeRO-3-style fully-sharded params: same numerics as plain DP, params
+    and moments physically sharded over 'data'."""
+    model = tiny_clip()
+    batch = _batch(16)
+    params = model.init(jax.random.key(0), batch)
+    cfg = _cfg()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = AttrDict(momentum=0.9)
+
+    dp_mesh = make_mesh()
+    tx1, set_lr1 = build_optimizer(cfg, params)
+    s1 = TrainState.create(params, tx1)
+    step1 = make_train_step(model, tx1, set_lr1, mesh=dp_mesh, donate=False)
+
+    tx2, set_lr2 = build_optimizer(cfg, params)
+    factory = make_train_step(model, tx2, set_lr2, mesh=dp_mesh, donate=False,
+                              fsdp=True, fsdp_min_size=512)
+    step2, s2 = factory(TrainState.create(params, tx2))
+
+    emb = s2.params["params"]["text_encoder"]["word_embeddings"]["embedding"]
+    assert not emb.sharding.is_fully_replicated
+    mom = [x for x in jax.tree.leaves(s2.opt_state)
+           if hasattr(x, "shape") and x.shape == emb.shape]
+    assert mom and all(not m.sharding.is_fully_replicated for m in mom)
+
+    for _ in range(3):
+        s1, m1 = step1(s1, shard_batch(batch, dp_mesh), None, 1e-3)
+        s2, m2 = step2(s2, shard_batch(batch, dp_mesh), None, 1e-3)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fsdp_tp_combo_matches_dp():
+    model = tiny_clip()
+    batch = _batch(16)
+    params = model.init(jax.random.key(0), batch)
+    cfg = _cfg()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = AttrDict(momentum=0.0)
+
+    dp_mesh = make_mesh()
+    tx1, set_lr1 = build_optimizer(cfg, params)
+    s1 = TrainState.create(params, tx1)
+    step1 = make_train_step(model, tx1, set_lr1, mesh=dp_mesh, donate=False)
+
+    mesh = make_mesh(tp_size=2)
+    tx2, set_lr2 = build_optimizer(cfg, params)
+    factory = make_train_step(model, tx2, set_lr2, mesh=mesh, donate=False,
+                              fsdp=True, fsdp_min_size=512)
+    step2, s2 = factory(TrainState.create(params, tx2))
+
+    qkv = s2.params["params"]["image_encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P("data", MODEL_AXIS)
+
+    for _ in range(2):
+        s1, m1 = step1(s1, shard_batch(batch, dp_mesh), None, 1e-3)
+        s2, m2 = step2(s2, shard_batch(batch, mesh), None, 1e-3)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-6)
