@@ -74,6 +74,20 @@ def zero_shot_classifier(model, params, classnames: Sequence[str], tokenizer,
     return np.stack(out)
 
 
+def image_patch_stride(model) -> int:
+    """Spatial stride of the dense feature grid: the ViT patch size (resolved
+    through the same tag-table/timm-pattern/arch-override path the model
+    builder uses), or the total conv stride (32) for CNN backbones (reference
+    fixes 16 at ``tools/seg_evaluation.py:99``; we derive it so any tag
+    works)."""
+    from simseg_tpu.models.vit import resolve_vit_config
+
+    if "vit" in model.image_tag:
+        spec = resolve_vit_config(model.image_tag, dict(model.image_arch or ()))
+        return spec["patch_size"]
+    return 32
+
+
 def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
                      canvas: int, patch_size: int = 16):
     """One jitted fn: images -> (intersection, union) histograms.
@@ -223,14 +237,8 @@ def evaluate_benchmark(loader, model, params, cfg, tokenizer,
     text_bank = zero_shot_classifier(model, params, seg_categories, tokenizer,
                                      max_length=cfg.model.max_length)
 
-    from simseg_tpu.models.vit import VIT_CONFIGS
-
-    if model.image_tag in VIT_CONFIGS:
-        patch_size = VIT_CONFIGS[model.image_tag]["patch_size"]
-    else:
-        patch_size = 32  # CNN backbones: total stride of the feature map
     forward = make_seg_forward(model, cfg, num_classes, top_cls_num, canvas,
-                               patch_size=patch_size)
+                               patch_size=image_patch_stride(model))
 
     total_i = np.zeros((num_classes,), np.float64)
     total_u = np.zeros((num_classes,), np.float64)

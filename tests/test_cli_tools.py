@@ -105,6 +105,35 @@ def test_seg_evaluation_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_export_serving_cli(tmp_path):
+    (tmp_path / "data" / "label_category").mkdir(parents=True)
+    (tmp_path / "data" / "label_category" / "pascal_voc.txt").write_text(
+        "background\ndog\ncat\nbird\n")
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(TINY_YAML)
+    vocab = tmp_path / "vocab.txt"
+    _write_vocab(vocab)
+
+    result = _run(
+        [os.path.join(REPO, "tools", "export_serving.py"),
+         "--cfg", str(cfg_path), "--vocab_file", str(vocab),
+         "--kind", "seg", "--dataset", "pascal_voc", "--batch", "2",
+         "--out", str(tmp_path / "seg.shlo")],
+        cwd=str(tmp_path),
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert (tmp_path / "seg.shlo").stat().st_size > 0
+
+    # the artifact is callable without any model/config machinery
+    from simseg_tpu import serving
+
+    fn = serving.load_artifact(str(tmp_path / "seg.shlo"))
+    pred, conf = fn(np.zeros((2, 32, 32, 3), np.float32),
+                    np.zeros((2, 32, 32, 3), np.uint8))
+    assert pred.shape == (2, 32, 32) and conf.shape == (2, 32, 32)
+
+
+@pytest.mark.slow
 def test_retrieval_evaluation_cli(tmp_path):
     import pandas as pd
     from io import BytesIO

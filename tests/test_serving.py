@@ -1,0 +1,85 @@
+"""Serving export (simseg_tpu/serving.py): a serialized artifact must
+reproduce the live pipeline bit-for-bit and be callable without model code."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simseg_tpu import serving
+from tests.test_models import tiny_clip
+
+
+def _model_and_params():
+    model = tiny_clip()
+    batch = {
+        "image": jnp.zeros((1, 32, 32, 3), jnp.float32),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    return model, model.init(jax.random.key(0), batch)
+
+
+def test_seg_artifact_roundtrip(tmp_path):
+    model, params = _model_and_params()
+    rng = np.random.default_rng(0)
+    bank = rng.normal(size=(5, 16)).astype(np.float32)
+    fn = serving.make_seg_infer_fn(model, params, jnp.asarray(bank),
+                                   image_size=32, num_classes=5,
+                                   patch_size=8, top_cls_num=3,
+                                   candidate_classes=2)
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+
+    direct_pred, direct_conf = jax.jit(fn)(images, raw)
+
+    data = serving.export_artifact(fn, (images, raw))
+    path = tmp_path / "seg.shlo"
+    serving.save_artifact(str(path), data)
+    loaded = serving.load_artifact(str(path))
+    pred, conf = loaded(images, raw)
+
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(direct_pred))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(direct_conf),
+                               rtol=1e-6)
+
+
+def test_image_patch_stride_standard_tags():
+    """Regression: standard timm tags are regex-parsed, not in VIT_CONFIGS —
+    the stride lookup must go through resolve_vit_config (16, not the CNN 32
+    fallback)."""
+    from types import SimpleNamespace
+
+    from simseg_tpu.tasks.seg_eval import image_patch_stride
+
+    assert image_patch_stride(SimpleNamespace(
+        image_tag="vit_base_patch16_224_in21k", image_arch=None)) == 16
+    assert image_patch_stride(SimpleNamespace(
+        image_tag="vit_large_patch32_384", image_arch=None)) == 32
+    assert image_patch_stride(SimpleNamespace(
+        image_tag="vit_test", image_arch=None)) == 8
+    assert image_patch_stride(SimpleNamespace(
+        image_tag="resnet50", image_arch=None)) == 32
+
+
+def test_embed_artifact_roundtrip(tmp_path):
+    model, params = _model_and_params()
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(0, 128, (4, 12)).astype(np.int32)
+    mask = np.ones((4, 12), np.int32)
+
+    fn = serving.make_embed_fn(model, params)
+    direct_img, direct_txt = jax.jit(fn)(images, ids, mask)
+
+    data = serving.export_artifact(fn, (images, ids, mask))
+    path = tmp_path / "embed.shlo"
+    serving.save_artifact(str(path), data)
+    loaded = serving.load_artifact(str(path))
+    img, txt = loaded(images, ids, mask)
+
+    np.testing.assert_allclose(np.asarray(img), np.asarray(direct_img),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(txt), np.asarray(direct_txt),
+                               rtol=1e-6)
+    # weights are baked in: the artifact has exactly the data inputs
+    assert img.shape == (4, 16) and txt.shape == (4, 16)

@@ -1,0 +1,103 @@
+"""Export a self-contained serving artifact (StableHLO via jax.export).
+
+Bakes the model weights (from a torch .pth via the bridge, or a native
+msgpack checkpoint) and the prompt-ensembled class-text bank into one
+deserializable inference graph. See simseg_tpu/serving.py.
+
+Usage:
+    python tools/export_serving.py --cfg configs/clip/simseg.vit-b.yaml \
+        --ckpt_path ckpts/simseg.vit-b.pth --kind seg \
+        --dataset pascal_voc --batch 64 --out simseg_vitb_voc_b64.shlo
+
+    --kind seg        full zero-shot segmentation pipeline
+    --kind retrieval  two-tower embedding forward
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--ckpt_path", default="")
+    ap.add_argument("--kind", choices=("seg", "retrieval"), default="seg")
+    ap.add_argument("--dataset", default="pascal_voc")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--vocab_file", default="")
+    ap.add_argument("--platforms", default="",
+                    help="comma-separated lowering targets, e.g. 'tpu'")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from simseg_tpu import serving
+    from simseg_tpu.config import new_base_cfg, update_cfg
+    from simseg_tpu.models.clip import build_clip_model
+    from simseg_tpu.tasks.clip.config import task_cfg_init_fn, update_clip_config
+    from simseg_tpu.tasks.seg_eval import load_label_bank
+
+    cfg = update_cfg(task_cfg_init_fn, args.cfg, args.overrides,
+                     preprocess_fn=update_clip_config, target=new_base_cfg())
+    model = build_clip_model(cfg)
+    size = cfg.transforms.input_size
+    dummy = {
+        "image": jnp.zeros((1, size, size, 3), jnp.float32),
+        "input_ids": jnp.zeros((1, cfg.model.max_length), jnp.int32),
+        "attention_mask": jnp.ones((1, cfg.model.max_length), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), dummy)
+    if args.ckpt_path:
+        from simseg_tpu.checkpoint.torch_bridge import load_clip_checkpoint
+
+        params, _report = load_clip_checkpoint(
+            args.ckpt_path, params, projection=cfg.model.projection.name)
+    else:
+        print("WARNING: no --ckpt_path, exporting randomly initialized weights")
+    platforms = [p for p in args.platforms.split(",") if p] or None
+
+    if args.kind == "seg":
+        from simseg_tpu.data.tokenizer import build_tokenizer
+        from simseg_tpu.tasks.seg_eval import (image_patch_stride,
+                                               zero_shot_classifier)
+
+        tokenizer = build_tokenizer(cfg.model.text_encoder.tag,
+                                    vocab_file=args.vocab_file or None)
+        classes = load_label_bank(args.dataset)
+        bank = jnp.asarray(zero_shot_classifier(
+            model, params, classes, tokenizer, cfg.model.max_length))
+        top_cls = 30 if args.dataset == "pascal_context" else 10
+        fn = serving.make_seg_infer_fn(
+            model, params, bank, image_size=size, num_classes=len(classes),
+            patch_size=image_patch_stride(model), top_cls_num=top_cls,
+        )
+        example = (
+            np.zeros((args.batch, size, size, 3), np.float32),
+            np.zeros((args.batch, size, size, 3), np.uint8),
+        )
+    else:
+        fn = serving.make_embed_fn(model, params)
+        example = (
+            np.zeros((args.batch, size, size, 3), np.float32),
+            np.zeros((args.batch, cfg.model.max_length), np.int32),
+            np.ones((args.batch, cfg.model.max_length), np.int32),
+        )
+
+    data = serving.export_artifact(fn, example, platforms=platforms)
+    serving.save_artifact(args.out, data)
+    print(f"wrote {args.out} ({len(data) / 1e6:.1f} MB, kind={args.kind}, "
+          f"batch={args.batch}, input={size}px)")
+
+
+if __name__ == "__main__":
+    main()
