@@ -300,18 +300,24 @@ class CLIPRunner(EpochRunner):
         )
 
     def build_step_fns(self) -> None:
-        from simseg_tpu.parallel.mesh import MODEL_AXIS
+        from simseg_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
 
         cfg = self.cfg
         smoothing = cfg.loss.get("smoothing", 0.0)
         group_size = cfg.loss.get("group_size", -1)
         zero1 = bool(cfg.dist.get("zero1", False))
         fsdp = bool(cfg.dist.get("fsdp", False))
+        moe_ep = bool(cfg.dist.get("moe_ep", False))
         if cfg.runner.name == "clip_bsgs":
-            if MODEL_AXIS in self.mesh.axis_names or fsdp:
+            from simseg_tpu.engine.train_step import _moe_enabled
+
+            if (MODEL_AXIS in self.mesh.axis_names or fsdp or moe_ep
+                    or PIPE_AXIS in self.mesh.axis_names
+                    or _moe_enabled(self.model)):
                 raise NotImplementedError(
-                    "runner 'clip_bsgs' does not combine with dist.tp_size>1 "
-                    "or dist.fsdp yet (use runner.name='clip')"
+                    "runner 'clip_bsgs' does not combine with dist.tp_size>1, "
+                    "dist.fsdp, dist.pp_size>1, or MoE towers yet "
+                    "(use runner.name='clip')"
                 )
             loss_name = cfg.loss.get("name", "NCE")
             if loss_name not in ("NCE", "MixUpNCE"):
@@ -358,8 +364,11 @@ class CLIPRunner(EpochRunner):
                 bn_training=not cfg.model.get("freeze_cnn_bn", False),
                 shard_opt_state=zero1,
                 fsdp=fsdp,
+                pp_micro=int(cfg.dist.get("pp_micro", 4)),
+                moe_ep=moe_ep,
             )
-            if zero1 or fsdp or MODEL_AXIS in self.mesh.axis_names:
+            if (zero1 or fsdp or moe_ep
+                    or MODEL_AXIS in self.mesh.axis_names):
                 # factory form: the step owns the state placement (TP param
                 # shardings and/or ZeRO-1 optimizer moments)
                 self._adopt_step_factory(built)

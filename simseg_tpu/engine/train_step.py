@@ -39,6 +39,15 @@ from simseg_tpu.ops.losses import (
 MIXUP_FOLD_TAG = 0x7FFFFFFF
 
 
+def _moe_enabled(model) -> bool:
+    """True when the model's image tower has MoE blocks (arch knob
+    ``moe_experts``, models/vit.py) so the loss must collect the sown
+    load-balance aux."""
+    tag = getattr(model, "image_tag", "")
+    arch = dict(getattr(model, "image_arch", None) or ())
+    return "vit" in tag and int(arch.get("moe_experts", 0) or 0) > 0
+
+
 def mixup_lambda(rng: Optional[jax.Array], step, alpha: float) -> jnp.ndarray:
     """Per-step Beta(alpha, alpha) mixup coefficient, lam in [0.5, 1].
 
@@ -107,6 +116,8 @@ def clip_loss_fn(
     extra_losses: Tuple[str, ...] = (),
     bn_training: bool = False,
     step=None,
+    forward_fn: Optional[Callable] = None,
+    moe_aux_weight: float = 0.01,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Forward + contrastive loss (parity: pipelines/clip.py:123-176
     forward_loss, dispatching on cfg.loss.name like the LOSS registry;
@@ -128,7 +139,24 @@ def clip_loss_fn(
         batch["image"] = lam * batch["image"] + (1.0 - lam) * batch["image"][::-1]
 
     new_stats = None
-    if bn_training and isinstance(params, dict) and "batch_stats" in params:
+    moe_aux = None
+    if forward_fn is not None:
+        # alternate model forward (pipeline parallelism, parallel/pp.py
+        # make_pp_forward) — always deterministic, ViT towers only
+        if (bn_training and isinstance(params, dict)
+                and "batch_stats" in params):
+            raise NotImplementedError("forward_fn does not support live BN")
+        img, txt, temp = forward_fn(params, batch)
+    elif _moe_enabled(model):
+        # MoE towers sow the Switch load-balance aux loss into
+        # 'intermediates' (ops/moe.py); collect and add it weighted
+        (img, txt, temp), inter = model.apply(
+            params, batch, deterministic=rng is None, rngs=rngs,
+            mutable=["intermediates"],
+        )
+        aux_leaves = [jnp.asarray(v) for v in jax.tree.leaves(inter)]
+        moe_aux = sum(jnp.mean(v) for v in aux_leaves) / max(len(aux_leaves), 1)
+    elif bn_training and isinstance(params, dict) and "batch_stats" in params:
         # CNN live-BN training: forward with batch statistics, collect the
         # mutated running averages for the step to merge back (reference
         # freeze_cnn_bn=False + SyncBN — the global-batch forward under pjit
@@ -185,6 +213,9 @@ def clip_loss_fn(
         extra, _ = compute(name)
         loss = loss + extra
         metrics[f"{name.lower()}_loss"] = extra
+    if moe_aux is not None:
+        loss = loss + moe_aux_weight * moe_aux
+        metrics["moe_aux"] = moe_aux
     metrics["loss"] = loss
     if new_stats is not None:
         # aux channel for the train step (popped before logging); not
@@ -206,6 +237,8 @@ def make_train_step(
     opt_shard_min_size: int = 2**16,
     fsdp: bool = False,
     fsdp_min_size: int = 2**14,
+    pp_micro: int = 4,
+    moe_ep: bool = False,
     **loss_kwargs,
 ):
     """Build the jitted train step.
@@ -222,7 +255,22 @@ def make_train_step(
     parallel/tp.py fsdp_shardings) — XLA all-gathers weights just-in-time
     and reduce-scatters gradients; moments follow their param's sharding.
     Also factory form; composes with tensor parallelism.
+
+    pp_micro: microbatches per step when the mesh has a 'pipe' axis — the
+    image tower then runs under the GPipe schedule (parallel/pp.py); the
+    forward is deterministic (no dropout) in that mode.
+
+    moe_ep: expert parallelism — MoE expert weights sharded over the 'data'
+    axis (parallel/tp.py ep_shardings); GSPMD inserts the all-to-all around
+    the expert FFN. Factory form, like fsdp.
     """
+    from simseg_tpu.parallel.mesh import PIPE_AXIS
+
+    if mesh is not None and PIPE_AXIS in mesh.axis_names:
+        from simseg_tpu.parallel.pp import make_pp_forward
+
+        loss_kwargs = dict(loss_kwargs,
+                           forward_fn=make_pp_forward(model, mesh, pp_micro))
 
     def step_fn(state: TrainState, batch, rng, lr):
         (_, metrics), grads = jax.value_and_grad(
@@ -252,7 +300,7 @@ def make_train_step(
     data = data_sharding(mesh)
     tp = MODEL_AXIS in mesh.axis_names
 
-    if shard_opt_state or tp or fsdp:
+    if shard_opt_state or tp or fsdp or moe_ep:
         # factory form: the caller passes the concrete TrainState once so the
         # per-leaf optimizer shardings can be derived from its structure
         def jit_with_state(state_template):
@@ -266,7 +314,12 @@ def make_train_step(
                 param_sh = fsdp_shardings(state_template.params, mesh,
                                           base=param_sh,
                                           min_size=fsdp_min_size)
-            if tp or fsdp:
+            if moe_ep:
+                from simseg_tpu.parallel.tp import ep_shardings
+
+                param_sh = ep_shardings(state_template.params, mesh,
+                                        base=param_sh)
+            if tp or fsdp or moe_ep:
                 # optimizer moments mirror the parameter shardings. GSPMD
                 # cannot infer this (zeros_like moments are value-independent
                 # of the params), so match structurally: optax moment leaves

@@ -63,6 +63,9 @@ class CLIPModel(nn.Module):
     # sequence-parallel residual-stream sharding for the image tower
     # (NamedSharding over (B, T, D); see models/vit.py act_sharding)
     act_sharding: Optional[Any] = None
+    # expert-parallel sharding for MoE expert buffers (ops/moe.py; the
+    # expert count itself rides image_arch's moe_experts)
+    expert_sharding: Optional[Any] = None
 
     def setup(self) -> None:
         # tag dispatch mirrors the reference's ImageEncoder kwargs logic
@@ -74,7 +77,8 @@ class CLIPModel(nn.Module):
                                            remat=self.remat,
                                            arch=dict(self.image_arch or ()),
                                            remat_policy=self.remat_policy,
-                                           act_sharding=self.act_sharding)
+                                           act_sharding=self.act_sharding,
+                                           expert_sharding=self.expert_sharding)
         else:
             from simseg_tpu.models.resnet import build_resnet
 
@@ -220,10 +224,13 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None,
 
     mesh: when given and cfg.dist.sp is true on a tensor-parallel mesh, the
     image tower's residual stream is sequence-sharded over 'model'
-    (Megatron-SP via one GSPMD annotation, models/vit.py act_sharding)."""
+    (Megatron-SP via one GSPMD annotation, models/vit.py act_sharding);
+    when cfg.dist.moe_ep is true the MoE expert buffers are sharded over
+    'data' (expert parallelism, ops/moe.py)."""
     if dtype is None:
         dtype = jnp.bfloat16 if cfg.dist.get("bf16", False) else jnp.float32
     act_sharding = None
+    expert_sharding = None
     if mesh is not None and cfg.dist.get("sp", False):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -235,6 +242,12 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None,
         # batch dim stays unconstrained: it propagates from the input
         # sharding, and pinning it would break batch-1 init
         act_sharding = NamedSharding(mesh, P(None, MODEL_AXIS, None))
+    if mesh is not None and cfg.dist.get("moe_ep", False):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from simseg_tpu.parallel.mesh import DATA_AXIS
+
+        expert_sharding = NamedSharding(mesh, P(DATA_AXIS, None, None))
     m = cfg.model
 
     def arch_tuple(enc_cfg):
@@ -262,6 +275,7 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None,
         remat=m.get("remat", False),
         remat_policy=m.get("remat_policy", "none"),
         act_sharding=act_sharding,
+        expert_sharding=expert_sharding,
     )
 
 

@@ -79,6 +79,11 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # mixture-of-experts MLP (beyond reference, ops/moe.py): when
+    # moe_experts > 0 the block's FFN becomes a Switch-style top-1 MoE
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
+    expert_sharding: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -88,9 +93,16 @@ class ViTBlock(nn.Module):
             y, deterministic
         )
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        x = x + ViTMlp(int(d * self.mlp_ratio), d, self.dropout, self.dtype, name="mlp")(
-            y, deterministic
-        )
+        if self.moe_experts > 0:
+            from simseg_tpu.ops.moe import MoEMlp
+
+            mlp_out = MoEMlp(self.moe_experts, int(d * self.mlp_ratio), d,
+                             self.moe_capacity, self.dtype,
+                             self.expert_sharding, name="moe")(y, deterministic)
+        else:
+            mlp_out = ViTMlp(int(d * self.mlp_ratio), d, self.dropout,
+                             self.dtype, name="mlp")(y, deterministic)
+        x = x + mlp_out
         return x
 
 
@@ -118,6 +130,14 @@ class VisionTransformer(nn.Module):
     # remat at moderate extra memory
     remat: bool = False
     remat_policy: str = "none"  # none | dots
+    # mixture-of-experts (beyond reference, ops/moe.py): every
+    # ``moe_every``-th block's FFN becomes a top-1 MoE with
+    # ``moe_experts`` experts; expert_sharding shards the (E, C, D)
+    # buffers over the expert-parallel mesh axis
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity: float = 1.25
+    expert_sharding: Optional[Any] = None
     # sequence parallelism (beyond reference): a NamedSharding for the
     # (B, T, D) residual stream, token dim sharded over the tensor-parallel
     # 'model' mesh axis. Constraining between blocks lets GSPMD run the
@@ -134,29 +154,55 @@ class VisionTransformer(nn.Module):
     def num_patches(self) -> int:
         return self.grid_size * self.grid_size
 
-    @nn.compact
-    def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        """images: (B, H, W, 3) NHWC float. Returns (B, 1+N, D)."""
-        b = images.shape[0]
-        x = nn.Conv(
+    def setup(self) -> None:
+        # setup-style (rather than @nn.compact) so ``embed``/``head`` are
+        # callable as standalone stages — the pipeline-parallel executor
+        # (parallel/pp.py) runs embed -> pipelined blocks -> head. Param
+        # names are identical to the former compact layout (checkpoint
+        # bridge compatibility).
+        self.patch_embed = nn.Conv(
             self.embed_dim,
             kernel_size=(self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
             padding="VALID",
             dtype=self.dtype,
             name="patch_embed",
-        )(images.astype(self.dtype))
-        x = x.reshape(b, -1, self.embed_dim)  # (B, N, D)
-
-        cls_token = self.param(
+        )
+        self.cls_token = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32
         )
-        pos_embed = self.param(
+        self.pos_embed = self.param(
             "pos_embed",
             nn.initializers.normal(stddev=0.02),
             (1, 1 + self.num_patches, self.embed_dim),
             jnp.float32,
         )
+        self.pos_drop = nn.Dropout(self.dropout)
+        block_cls = ViTBlock
+        if self.remat:
+            block_cls = nn.remat(ViTBlock, static_argnums=(2,),
+                                 policy=_remat_policy(self.remat_policy))
+        def is_moe(i: int) -> bool:
+            return (self.moe_experts > 0
+                    and i % self.moe_every == self.moe_every - 1)
+
+        self.blocks = [
+            block_cls(self.num_heads, self.mlp_ratio, self.dropout, self.dtype,
+                      moe_experts=self.moe_experts if is_moe(i) else 0,
+                      moe_capacity=self.moe_capacity,
+                      expert_sharding=self.expert_sharding,
+                      name=f"blocks_{i}")
+            for i in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+
+    def embed(self, images: jnp.ndarray,
+              deterministic: bool = True) -> jnp.ndarray:
+        """Patch embedding + CLS + position embeddings: (B,H,W,3) -> (B,1+N,D)."""
+        b = images.shape[0]
+        x = self.patch_embed(images.astype(self.dtype))
+        x = x.reshape(b, -1, self.embed_dim)  # (B, N, D)
+        pos_embed = self.pos_embed
         n_tokens = x.shape[1]
         if n_tokens != self.num_patches:
             # variable input resolution (multi-scale inference): resample the
@@ -165,35 +211,31 @@ class VisionTransformer(nn.Module):
             from simseg_tpu.ops.interpolate_pe import interpolate_pos_embed
 
             pos_embed = interpolate_pos_embed(pos_embed, n_tokens)
-        x = jnp.concatenate([jnp.tile(cls_token.astype(self.dtype), (b, 1, 1)), x], axis=1)
+        x = jnp.concatenate(
+            [jnp.tile(self.cls_token.astype(self.dtype), (b, 1, 1)), x], axis=1)
         x = x + pos_embed.astype(self.dtype)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return self.pos_drop(x, deterministic=deterministic)
 
-        block_cls = ViTBlock
-        if self.remat:
-            import flax.linen as nn_mod
+    def head(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Final LayerNorm after the block stack."""
+        return self.norm(x)
 
-            block_cls = nn_mod.remat(ViTBlock, static_argnums=(2,),
-                                     policy=_remat_policy(self.remat_policy))
+    def _constrain(self, y):
         import jax
 
-        def constrain(y):
-            # only under jit: the compiler pads an indivisible token dim
-            # (T=325 over tp=2), while in eager (model.init) the constraint
-            # would be a strict device_put and reject it
-            if self.act_sharding is not None and isinstance(y, jax.core.Tracer):
-                return jax.lax.with_sharding_constraint(y, self.act_sharding)
-            return y
+        # only under jit: the compiler pads an indivisible token dim
+        # (T=325 over tp=2), while in eager (model.init) the constraint
+        # would be a strict device_put and reject it
+        if self.act_sharding is not None and isinstance(y, jax.core.Tracer):
+            return jax.lax.with_sharding_constraint(y, self.act_sharding)
+        return y
 
-        x = constrain(x)
-        for i in range(self.depth):
-            x = block_cls(
-                self.num_heads, self.mlp_ratio, self.dropout, self.dtype, name=f"blocks_{i}"
-            )(x, deterministic)
-            x = constrain(x)
-
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        return x
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """images: (B, H, W, 3) NHWC float. Returns (B, 1+N, D)."""
+        x = self._constrain(self.embed(images, deterministic))
+        for block in self.blocks:
+            x = self._constrain(block(x, deterministic))
+        return self.head(x)
 
 
 # timm tag -> architecture hyperparameters (vit_builder.py instantiates these
@@ -261,8 +303,10 @@ def build_vit(tag: str, img_size: int, dtype: jnp.dtype = jnp.float32,
               dropout: float = 0.0, remat: bool = False,
               arch: Optional[dict] = None,
               remat_policy: str = "none",
-              act_sharding=None) -> VisionTransformer:
+              act_sharding=None,
+              expert_sharding=None) -> VisionTransformer:
     spec = resolve_vit_config(tag, arch)
     return VisionTransformer(img_size=img_size, dtype=dtype, dropout=dropout,
                              remat=remat, remat_policy=remat_policy,
-                             act_sharding=act_sharding, **spec)
+                             act_sharding=act_sharding,
+                             expert_sharding=expert_sharding, **spec)

@@ -1,0 +1,104 @@
+"""Mixture-of-Experts MLP with expert parallelism (Switch-style top-1).
+
+Beyond-reference capability (SURVEY.md §2.8 marks EP/MoE absent upstream).
+TPU-native shape: the classic dense-dispatch formulation — routing becomes
+three einsums over a static-capacity buffer, so the whole layer is MXU
+matmuls with no dynamic shapes:
+
+- router: (G, D) tokens -> softmax logits over E experts, top-1 assignment
+  with a static per-expert capacity C = ceil(G/E * capacity_factor)
+  (overflow tokens are dropped; the block's residual connection carries
+  them through unchanged),
+- dispatch: one-hot (G, E, C) mask -> expert inputs (E, C, D) via einsum,
+- expert FFN: batched (E, C, D) x (E, D, H) einsums — every expert's MLP
+  runs as one big batched matmul,
+- combine: gate-weighted einsum back to (G, D).
+
+Expert parallelism = sharding the leading E dim over the 'data' mesh axis
+(parallel/tp.py ep_shardings for the weights; ``expert_sharding`` here for
+the activation buffers). GSPMD then inserts the all-to-all around the
+expert FFN — the same recipe as t5x/flaxformer MoE on TPU pods.
+
+The Switch load-balancing auxiliary loss (E * sum_e f_e * P_e) is sown into
+the 'intermediates' collection; the train step collects it when the
+collection is marked mutable and adds ``moe_aux_weight`` times it to the
+loss (no-op in eval paths that don't request intermediates).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MoEMlp(nn.Module):
+    """Drop-in replacement for the ViT block MLP (ops shapes match
+    models/vit.py ViTMlp): (B, T, D) -> (B, T, out_dim)."""
+
+    num_experts: int
+    hidden_dim: int
+    out_dim: int
+    capacity_factor: float = 1.25
+    dtype: jnp.dtype = jnp.float32
+    # NamedSharding for the (E, C, D) expert buffers: leading dim over the
+    # expert-parallel mesh axis. None = single-device / no constraint.
+    expert_sharding: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, t, d = x.shape
+        e = self.num_experts
+        g = b * t
+        capacity = max(int(math.ceil(g / e * self.capacity_factor)), 1)
+
+        tokens = x.reshape(g, d)
+        # router in f32 for a stable softmax/argmax regardless of tower dtype
+        logits = nn.Dense(e, dtype=jnp.float32, name="router")(
+            tokens.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)  # (G, E)
+        expert_idx = jnp.argmax(probs, axis=-1)  # (G,)
+        gate = jnp.max(probs, axis=-1)  # (G,)
+
+        assign = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)  # (G, E)
+        # position of each token within its expert's buffer (0-based)
+        pos = jnp.cumsum(assign, axis=0) * assign - 1.0
+        within = (pos >= 0) & (pos < capacity)
+        # dispatch: (G, E, C) one-hot over the capacity slot
+        dispatch = jax.nn.one_hot(
+            jnp.where(within, pos, -1).astype(jnp.int32), capacity,
+            dtype=x.dtype)  # one_hot(-1) = all-zeros row
+        combine = dispatch * (gate.astype(x.dtype))[:, None, None]
+
+        # Switch aux loss: E * sum_e (fraction of tokens -> e) * (mean prob e)
+        f_e = jnp.mean(assign, axis=0)
+        p_e = jnp.mean(probs, axis=0)
+        self.sow("intermediates", "moe_aux", e * jnp.sum(f_e * p_e))
+
+        w1 = self.param("w1", nn.initializers.lecun_normal(),
+                        (e, d, self.hidden_dim), jnp.float32)
+        b1 = self.param("b1", nn.initializers.zeros,
+                        (e, self.hidden_dim), jnp.float32)
+        w2 = self.param("w2", nn.initializers.lecun_normal(),
+                        (e, self.hidden_dim, self.out_dim), jnp.float32)
+        b2 = self.param("b2", nn.initializers.zeros,
+                        (e, self.out_dim), jnp.float32)
+
+        def constrain(y):
+            if self.expert_sharding is not None and isinstance(y, jax.core.Tracer):
+                return jax.lax.with_sharding_constraint(y, self.expert_sharding)
+            return y
+
+        # (G, D) -> (E, C, D): GSPMD turns the token->expert reshuffle into
+        # an all-to-all when the expert dim is sharded
+        expert_in = constrain(jnp.einsum("gec,gd->ecd", dispatch, tokens))
+        h = jnp.einsum("ecd,edh->ech", expert_in, w1.astype(x.dtype))
+        h = nn.gelu(h + b1.astype(x.dtype)[:, None, :],
+                    approximate=self.dtype != jnp.float32)
+        out = jnp.einsum("ech,ehd->ecd", h, w2.astype(x.dtype))
+        out = constrain(out + b2.astype(x.dtype)[:, None, :])
+        y = jnp.einsum("gec,ecd->gd", combine, out)
+        return y.reshape(b, t, self.out_dim)

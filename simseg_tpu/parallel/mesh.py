@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 REPLICA_AXIS = "replica"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def init_distributed() -> None:
@@ -72,24 +73,39 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     group_size: int = -1,
     tp_size: int = 1,
+    pp_size: int = 1,
 ) -> Mesh:
     """Build a 1-D data mesh, a ('replica', 'data') mesh when the
-    contrastive gather is limited to groups of ``group_size`` devices, or a
+    contrastive gather is limited to groups of ``group_size`` devices, a
     (..., 'model') mesh when ``tp_size`` > 1 devices cooperate on each model
-    replica (tensor parallelism, see parallel/tp.py).
+    replica (tensor parallelism, see parallel/tp.py), or a ('pipe', ...)
+    mesh when ``pp_size`` > 1 stages pipeline the block stack
+    (parallel/pp.py).
 
     With group_size <= 0 (reference default: gather over the world) the mesh
     is Mesh(devices, ('data',)). Otherwise devices are folded into
     (n_groups, group_size) with the gather axis innermost so the all-gather
     stays on the densest ICI links. The 'model' axis is always innermost —
     the per-block TP collectives (psum of row-parallel partials) are the
-    most latency-sensitive traffic, so they get the densest links.
+    most latency-sensitive traffic, so they get the densest links. The
+    'pipe' axis is outermost: stages exchange one activation hop per
+    microbatch tick, the least bandwidth-hungry traffic of the bunch.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     tp = int(tp_size) if tp_size and tp_size > 1 else 1
+    pp = int(pp_size) if pp_size and pp_size > 1 else 1
     if tp > 1 and n % tp != 0:
         raise ValueError(f"tp_size {tp} must divide device count {n}")
+    if pp > 1:
+        if n % pp != 0:
+            raise ValueError(f"pp_size {pp} must divide device count {n}")
+        if tp > 1 or (group_size is not None and group_size > 0):
+            raise NotImplementedError(
+                "pp currently composes with data parallelism only "
+                "(no tp/grouped mesh on top)")
+        arr = np.array(devices).reshape(pp, n // pp)
+        return Mesh(arr, (PIPE_AXIS, DATA_AXIS))
     n_data = n // tp
     if group_size is None or group_size <= 0 or group_size >= n_data:
         if tp == 1:
@@ -108,9 +124,11 @@ def make_mesh(
 
 
 def batch_axes(mesh: Mesh) -> tuple:
-    """Mesh axes the batch dim is sharded over (every axis except 'model' —
-    each tensor-parallel group works on the same examples)."""
-    return tuple(ax for ax in mesh.axis_names if ax != MODEL_AXIS)
+    """Mesh axes the batch dim is sharded over (every axis except 'model'
+    and 'pipe' — each tensor-parallel group / pipeline stage works on the
+    same examples)."""
+    return tuple(ax for ax in mesh.axis_names
+                 if ax not in (MODEL_AXIS, PIPE_AXIS))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

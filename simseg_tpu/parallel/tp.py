@@ -94,6 +94,35 @@ def place_params_tp(params, mesh: Mesh):
     return jax.device_put(params, tp_shardings(params, mesh))
 
 
+_EP_LEAF = re.compile(r"/moe/(w1|w2|b1|b2)$")
+
+
+def ep_shardings(params, mesh: Mesh, base=None):
+    """Expert-parallel shardings: MoE expert weights (ops/moe.py MoEMlp
+    ``w1/b1/w2/b2``, leading dim = num_experts) are sharded over the 'data'
+    mesh axis when the expert count divides it — each data-parallel device
+    owns a slice of the experts, and GSPMD inserts the all-to-all around the
+    expert FFN (the t5x/flaxformer EP recipe). Router and non-MoE leaves
+    keep their ``base`` sharding."""
+    from simseg_tpu.parallel.mesh import DATA_AXIS
+
+    if DATA_AXIS not in mesh.axis_names:
+        raise ValueError("ep_shardings needs a 'data' mesh axis")
+    n = mesh.shape[DATA_AXIS]
+    if base is None:
+        base = jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+
+    def spec(path_entries, leaf, sh):
+        path = "/" + "/".join(str(getattr(k, "key", k)) for k in path_entries)
+        shape = getattr(leaf, "shape", ())
+        if _EP_LEAF.search(path) and shape and shape[0] % n == 0:
+            return NamedSharding(
+                mesh, P(DATA_AXIS, *([None] * (len(shape) - 1))))
+        return sh
+
+    return jax.tree_util.tree_map_with_path(spec, params, base)
+
+
 def fsdp_shardings(params, mesh: Mesh, base=None, min_size: int = 2**14):
     """Fully-sharded (ZeRO-3-style) parameter shardings over the data axis.
 

@@ -46,6 +46,9 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.dist.zero1 = False  # ZeRO-1 optimizer-state sharding over 'data'
     cfg.dist.sp = False  # sequence-parallel residual stream (needs tp_size>1)
     cfg.dist.fsdp = False  # ZeRO-3-style fully-sharded params over 'data'
+    cfg.dist.pp_size = 1  # pipeline parallelism (beyond ref, parallel/pp.py)
+    cfg.dist.pp_micro = 4  # microbatches per step under pp_size>1
+    cfg.dist.moe_ep = False  # expert-parallel MoE weights (ops/moe.py)
 
     cfg.optim.name = "torch.optim.AdamW"
     cfg.optim.param = OpenDict(betas=(0.9, 0.98), eps=1e-6, weight_decay=0.1)

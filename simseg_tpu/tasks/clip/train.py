@@ -39,7 +39,8 @@ def main():
 
     init_distributed()
     mesh = make_mesh(group_size=cfg.loss.get("group_size", -1),
-                     tp_size=cfg.dist.get("tp_size", 1))
+                     tp_size=cfg.dist.get("tp_size", 1),
+                     pp_size=cfg.dist.get("pp_size", 1))
     logger.emph(f"Mesh: {mesh}")
 
     from simseg_tpu.core.runner import CLIPRunner

@@ -1,0 +1,122 @@
+"""Pipeline parallelism (parallel/pp.py): GPipe schedule numerics.
+
+Beyond-reference capability (SURVEY.md §2.8 marks PP absent upstream). The
+contract: the pipelined image tower — stacked stage params, shard_map over
+'pipe', ppermute activation hops — must reproduce the plain forward exactly
+and train to the same parameters as plain data parallelism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simseg_tpu.core.optim import build_optimizer
+from simseg_tpu.engine import TrainState, make_train_step
+from simseg_tpu.parallel import (
+    batch_shards,
+    make_mesh,
+    pp_image_tokens,
+    shard_batch,
+)
+from simseg_tpu.utils.collections import AttrDict
+from tests.test_models import tiny_clip
+from tests.test_train_step import _batch, _cfg
+
+
+def test_pp_mesh_shape():
+    mesh = make_mesh(pp_size=2)
+    assert mesh.axis_names == ("pipe", "data")
+    assert mesh.shape["pipe"] == 2 and mesh.shape["data"] == 4
+    # batch is sharded over 'data' only; every stage sees the same examples
+    assert batch_shards(mesh) == 4
+    with pytest.raises(ValueError):
+        make_mesh(pp_size=3)
+    with pytest.raises(NotImplementedError):
+        make_mesh(pp_size=2, tp_size=2)
+
+
+@pytest.mark.parametrize("pp,n_micro", [(2, 2), (4, 2)])
+def test_pp_forward_matches_plain(pp, n_micro):
+    """Pipelined ViT tokens == the ordinary model forward (same math, just
+    scheduled across stages). depth=4 so every stage count divides it."""
+    model = tiny_clip(image_arch=(("depth", 4),))
+    batch = _batch(8)
+    params = model.init(jax.random.key(0), batch)
+    mesh = make_mesh(pp_size=pp)
+
+    plain = model.apply(
+        params, batch["image"],
+        method=lambda m, im: m.image_encoder(im, True))
+    piped = jax.jit(
+        lambda p, im: pp_image_tokens(model, p, im, mesh, n_micro)
+    )(params, shard_batch(batch, mesh)["image"])
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_gradients_match_plain():
+    """Grads through the GPipe schedule (ppermute transpose, masked psum,
+    stacked-param unstack) == grads of the plain forward."""
+    model = tiny_clip()
+    batch = _batch(8)
+    params = model.init(jax.random.key(0), batch)
+    mesh = make_mesh(pp_size=2)
+    images = shard_batch(batch, mesh)["image"]
+
+    def loss_plain(p):
+        t = model.apply(p, batch["image"],
+                        method=lambda m, im: m.image_encoder(im, True))
+        return jnp.sum(t ** 2)
+
+    def loss_pp(p):
+        t = pp_image_tokens(model, p, images, mesh, 2)
+        return jnp.sum(t ** 2)
+
+    # both sides jitted: plain eager-vs-jit grads already differ by ~2e-4
+    # from fusion reordering in this graph, so that is the noise floor the
+    # schedule is compared against (measured; see also test_pp_step_matches_dp
+    # for the end-to-end contract)
+    g1 = jax.jit(jax.grad(loss_plain))(params)
+    g2 = jax.jit(jax.grad(loss_pp))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
+
+
+def test_pp_step_matches_dp():
+    """3 SGD steps with the image tower pipelined == 3 plain DP steps."""
+    model = tiny_clip()
+    batch = _batch(16)
+    params = model.init(jax.random.key(0), batch)
+    cfg = _cfg()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = AttrDict(momentum=0.9)
+
+    dp_mesh = make_mesh()
+    tx1, set_lr1 = build_optimizer(cfg, params)
+    s1 = TrainState.create(params, tx1)
+    step1 = make_train_step(model, tx1, set_lr1, mesh=dp_mesh, donate=False)
+
+    mesh = make_mesh(pp_size=2)
+    tx2, set_lr2 = build_optimizer(cfg, params)
+    s2 = TrainState.create(params, tx2)
+    step2 = make_train_step(model, tx2, set_lr2, mesh=mesh, donate=False,
+                            pp_micro=2)
+
+    for _ in range(3):
+        s1, m1 = step1(s1, shard_batch(batch, dp_mesh), None, 1e-3)
+        s2, m2 = step2(s2, shard_batch(batch, mesh), None, 1e-3)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-6)
+
+
+def test_pp_rejects_indivisible():
+    model = tiny_clip()
+    batch = _batch(8)
+    params = model.init(jax.random.key(0), batch)
+    mesh = make_mesh(pp_size=2)
+    with pytest.raises(ValueError, match="pp_micro"):
+        jax.jit(lambda p, im: pp_image_tokens(model, p, im, mesh, 3))(
+            params, shard_batch(batch, mesh)["image"])

@@ -116,3 +116,33 @@ def test_launch_clip_training(tmp_path):
     assert os.path.isdir(tmp_path / "out" / "toytrain" / "epoch_001")
     # launcher teed the log
     assert os.path.exists(tmp_path / "output" / "toy_log.txt")
+
+
+@pytest.mark.slow
+def test_launch_clip_training_pipeline_parallel(tmp_path):
+    """dist.pp_size=2 through the real CLI: mesh ('pipe', 'data'), image
+    tower pipelined (parallel/pp.py), full train + val epoch."""
+    data = tmp_path / "data"
+    data.mkdir()
+    _make_clip_data(data)
+    cfg_path = tmp_path / "toy.yaml"
+    cfg_path.write_text(CLIP_YAML)
+    vocab = tmp_path / "vocab.txt"
+    _write_vocab(vocab)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = REPO
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "launch.py"),
+         "--task", "clip", "--cfg", str(cfg_path),
+         "--vocab_file", str(vocab),
+         f"data.data_path={data}/",
+         f"ckpt.dir={tmp_path}/out",
+         "dist.pp_size=2", "dist.pp_micro=2"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-3000:]
+    assert "'pipe': 2" in result.stdout or "pipe" in result.stdout
+    assert "rsum" in result.stdout
