@@ -366,6 +366,7 @@ class CLIPRunner(EpochRunner):
                 fsdp=fsdp,
                 pp_micro=int(cfg.dist.get("pp_micro", 4)),
                 moe_ep=moe_ep,
+                moe_aux_weight=float(cfg.loss.get("moe_aux_weight", 0.01)),
             )
             if (zero1 or fsdp or moe_ep
                     or MODEL_AXIS in self.mesh.axis_names):

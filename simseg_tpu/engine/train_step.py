@@ -154,8 +154,10 @@ def clip_loss_fn(
             params, batch, deterministic=rng is None, rngs=rngs,
             mutable=["intermediates"],
         )
-        aux_leaves = [jnp.asarray(v) for v in jax.tree.leaves(inter)]
-        moe_aux = sum(jnp.mean(v) for v in aux_leaves) / max(len(aux_leaves), 1)
+        # Switch convention: SUM over MoE layers (each layer's balancing
+        # signal is independent of the MoE depth)
+        moe_aux = sum(jnp.mean(jnp.asarray(v))
+                      for v in jax.tree.leaves(inter))
     elif bn_training and isinstance(params, dict) and "batch_stats" in params:
         # CNN live-BN training: forward with batch statistics, collect the
         # mutated running averages for the step to merge back (reference

@@ -247,7 +247,8 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None,
 
         from simseg_tpu.parallel.mesh import DATA_AXIS
 
-        expert_sharding = NamedSharding(mesh, P(DATA_AXIS, None, None))
+        # (B, E, C, D) buffers: expert dim over 'data' (ops/moe.py)
+        expert_sharding = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
     m = cfg.model
 
     def arch_tuple(enc_cfg):

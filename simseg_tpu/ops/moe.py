@@ -2,27 +2,34 @@
 
 Beyond-reference capability (SURVEY.md §2.8 marks EP/MoE absent upstream).
 TPU-native shape: the classic dense-dispatch formulation — routing becomes
-three einsums over a static-capacity buffer, so the whole layer is MXU
-matmuls with no dynamic shapes:
+einsums over a static-capacity buffer, so the whole layer is MXU matmuls
+with no dynamic shapes:
 
-- router: (G, D) tokens -> softmax logits over E experts, top-1 assignment
-  with a static per-expert capacity C = ceil(G/E * capacity_factor)
-  (overflow tokens are dropped; the block's residual connection carries
-  them through unchanged),
-- dispatch: one-hot (G, E, C) mask -> expert inputs (E, C, D) via einsum,
-- expert FFN: batched (E, C, D) x (E, D, H) einsums — every expert's MLP
-  runs as one big batched matmul,
-- combine: gate-weighted einsum back to (G, D).
+- router: per-sample (B, T, D) tokens -> softmax logits over E experts,
+  top-1 assignment with a static per-sample capacity
+  C = ceil(T/E * capacity_factor) (overflow tokens are dropped; the block's
+  residual connection carries them through unchanged). Routing groups are
+  per sample, so the dispatch buffers stay O(B * T * E * C) — linear in the
+  global token count — instead of the O(G^2) a single global routing group
+  would cost at production batch sizes,
+- dispatch: one-hot (B, T, E, C) mask -> expert inputs (B, E, C, D),
+- expert FFN: batched (B, E, C, D) x (E, D, H) einsums — every expert's
+  MLP runs as one big batched matmul,
+- combine: gate-weighted einsum back to (B, T, D).
 
-Expert parallelism = sharding the leading E dim over the 'data' mesh axis
-(parallel/tp.py ep_shardings for the weights; ``expert_sharding`` here for
-the activation buffers). GSPMD then inserts the all-to-all around the
-expert FFN — the same recipe as t5x/flaxformer MoE on TPU pods.
+Expert parallelism: the expert weights' leading E dim is sharded over the
+'data' mesh axis (parallel/tp.py ep_shardings), and ``expert_sharding``
+constrains the (B, E, C, D) buffers to P(None, 'data', None, None) — batch
+gathered, experts scattered. GSPMD lowers the layout switch from the
+batch-sharded tokens to the expert-sharded buffers as the canonical MoE
+all-to-all, and each device runs the FFN for its expert slice only — the
+same recipe as t5x/flaxformer MoE on TPU pods.
 
 The Switch load-balancing auxiliary loss (E * sum_e f_e * P_e) is sown into
 the 'intermediates' collection; the train step collects it when the
-collection is marked mutable and adds ``moe_aux_weight`` times it to the
-loss (no-op in eval paths that don't request intermediates).
+collection is marked mutable and adds ``loss.moe_aux_weight`` times the sum
+over MoE layers to the loss (no-op in eval paths that don't request
+intermediates).
 """
 
 from __future__ import annotations
@@ -44,7 +51,7 @@ class MoEMlp(nn.Module):
     out_dim: int
     capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.float32
-    # NamedSharding for the (E, C, D) expert buffers: leading dim over the
+    # NamedSharding for the (B, E, C, D) expert buffers: expert dim over the
     # expert-parallel mesh axis. None = single-device / no constraint.
     expert_sharding: Optional[Any] = None
 
@@ -52,30 +59,28 @@ class MoEMlp(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, t, d = x.shape
         e = self.num_experts
-        g = b * t
-        capacity = max(int(math.ceil(g / e * self.capacity_factor)), 1)
+        capacity = max(int(math.ceil(t / e * self.capacity_factor)), 1)
 
-        tokens = x.reshape(g, d)
         # router in f32 for a stable softmax/argmax regardless of tower dtype
         logits = nn.Dense(e, dtype=jnp.float32, name="router")(
-            tokens.astype(jnp.float32))
-        probs = jax.nn.softmax(logits, axis=-1)  # (G, E)
-        expert_idx = jnp.argmax(probs, axis=-1)  # (G,)
-        gate = jnp.max(probs, axis=-1)  # (G,)
+            x.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)  # (B, T, E)
+        expert_idx = jnp.argmax(probs, axis=-1)  # (B, T)
+        gate = jnp.max(probs, axis=-1)  # (B, T)
 
-        assign = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)  # (G, E)
-        # position of each token within its expert's buffer (0-based)
-        pos = jnp.cumsum(assign, axis=0) * assign - 1.0
+        assign = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)  # (B, T, E)
+        # position of each token within its (per-sample) expert buffer
+        pos = jnp.cumsum(assign, axis=1) * assign - 1.0
         within = (pos >= 0) & (pos < capacity)
-        # dispatch: (G, E, C) one-hot over the capacity slot
+        # dispatch: (B, T, E, C) one-hot over the capacity slot
         dispatch = jax.nn.one_hot(
             jnp.where(within, pos, -1).astype(jnp.int32), capacity,
             dtype=x.dtype)  # one_hot(-1) = all-zeros row
-        combine = dispatch * (gate.astype(x.dtype))[:, None, None]
+        combine = dispatch * (gate.astype(x.dtype))[:, :, None, None]
 
         # Switch aux loss: E * sum_e (fraction of tokens -> e) * (mean prob e)
-        f_e = jnp.mean(assign, axis=0)
-        p_e = jnp.mean(probs, axis=0)
+        f_e = jnp.mean(assign, axis=(0, 1))
+        p_e = jnp.mean(probs, axis=(0, 1))
         self.sow("intermediates", "moe_aux", e * jnp.sum(f_e * p_e))
 
         w1 = self.param("w1", nn.initializers.lecun_normal(),
@@ -92,13 +97,14 @@ class MoEMlp(nn.Module):
                 return jax.lax.with_sharding_constraint(y, self.expert_sharding)
             return y
 
-        # (G, D) -> (E, C, D): GSPMD turns the token->expert reshuffle into
-        # an all-to-all when the expert dim is sharded
-        expert_in = constrain(jnp.einsum("gec,gd->ecd", dispatch, tokens))
-        h = jnp.einsum("ecd,edh->ech", expert_in, w1.astype(x.dtype))
-        h = nn.gelu(h + b1.astype(x.dtype)[:, None, :],
+        # (B, T, D) -> (B, E, C, D): with the expert dim sharded, GSPMD
+        # lowers the batch-sharded -> expert-sharded layout change as the
+        # MoE all-to-all
+        expert_in = constrain(jnp.einsum("btec,btd->becd", dispatch, x))
+        h = jnp.einsum("becd,edh->bech", expert_in, w1.astype(x.dtype))
+        h = nn.gelu(h + b1.astype(x.dtype)[None, :, None, :],
                     approximate=self.dtype != jnp.float32)
-        out = jnp.einsum("ech,ehd->ecd", h, w2.astype(x.dtype))
-        out = constrain(out + b2.astype(x.dtype)[:, None, :])
-        y = jnp.einsum("gec,ecd->gd", combine, out)
-        return y.reshape(b, t, self.out_dim)
+        out = jnp.einsum("bech,ehd->becd", h, w2.astype(x.dtype))
+        out = constrain(out + b2.astype(x.dtype)[None, :, None, :])
+        y = jnp.einsum("btec,becd->btd", combine, out)
+        return y

@@ -153,6 +153,16 @@ def make_pp_forward(model, mesh: Mesh, n_micro: int):
         raise NotImplementedError(
             "pipeline parallelism does not combine with MoE blocks (the "
             "stage stack needs homogeneous block params)")
+    if getattr(model, "dropout", 0.0) or (
+            model.projection_name == "complex"
+            and getattr(model, "projection_dropout", 0.0)):
+        # refuse loudly rather than silently training without the
+        # configured regularization (repo convention, cf. the clip_bsgs
+        # guards in core/runner.py)
+        raise NotImplementedError(
+            "pipeline parallelism runs the forward deterministically; set "
+            "model.dropout=0 (and complex-projection drop_out=0) or use "
+            "dist.pp_size=1")
 
     def forward(params, batch) -> Tuple[jnp.ndarray, ...]:
         tokens = pp_image_tokens(model, params, batch["image"], mesh, n_micro)

@@ -2,13 +2,16 @@
 
 Beyond the reference (whose "serving" surface is the two eval scripts,
 tools/seg_evaluation.py / tools/retrieval_evaluation.py): the complete
-zero-shot segmentation pipeline (ViT forward -> projections -> similarity
-decode -> CRF -> morphology -> argmax) or the retrieval embedding forward
-is staged into one StableHLO artifact with the weights and the class-text
-bank baked in as constants. The artifact is self-contained: a server
-deserializes it and calls it — no model code, config tree, or checkpoint
-bridge needed at serving time, and the compiled executable is identical to
-what bench.py measures (1220 img/s/chip for ViT-B seg at batch 64).
+zero-shot segmentation pipeline (device-side normalize -> ViT forward ->
+projections -> similarity decode -> CRF -> morphology -> argmax) or the
+retrieval embedding forward is staged into one StableHLO artifact with the
+weights and the class-text bank baked in as constants. The artifact is
+self-contained: a server deserializes it and calls it with raw uint8
+images — no model code, config tree, normalization constants, or
+checkpoint bridge needed at serving time. The seg pipeline is the SAME
+``make_seg_predict`` the mIoU-validated eval tool runs (including
+``cfg.seg_eval`` multi-scale / sliding-window / CRF knobs), so served
+predictions match ``tools/seg_evaluation.py`` bit-for-bit.
 
 Shapes are static per artifact (batch x H x W), matching XLA's compilation
 model — export one artifact per serving batch size.
@@ -23,36 +26,28 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
+from simseg_tpu.ops.pooling import l2_normalize
 
-def make_seg_infer_fn(model, params, text_bank: jnp.ndarray,
-                      image_size: int, num_classes: int,
-                      patch_size: int = 16, top_cls_num: int = 10,
-                      candidate_classes: int = 5) -> Callable:
-    """(normalized images (B,H,W,3) f32, raw uint8 images) -> (pred, conf).
 
-    The full on-device decode of tools/seg_evaluation.py as one function
-    with weights/text-bank closed over (baked into the export)."""
-    from simseg_tpu.ops.seg_decode import make_seg_decode_fn
+def make_seg_infer_fn(model, params, text_bank: jnp.ndarray, cfg,
+                      num_classes: int, top_cls_num: int,
+                      patch_size: int = 16) -> Callable:
+    """raw uint8 images (B, S, S, 3) -> (pred, conf).
 
-    decode = make_seg_decode_fn(
-        num_classes=num_classes, image_size=image_size,
-        patch_size=patch_size, top_cls_num=top_cls_num,
-        candidate_classes=candidate_classes,
-    )
-    bank = text_bank / jnp.maximum(
-        jnp.linalg.norm(text_bank, axis=-1, keepdims=True), 1e-12)
+    The full on-device pipeline of tools/seg_evaluation.py — exactly
+    ``tasks/seg_eval.py make_seg_predict`` with weights and the (L2-normed)
+    text bank closed over, so every ``cfg.seg_eval`` knob the evaluated
+    pipeline honors (scales, window, bilateral_stride, crf_backend) is
+    baked into the export."""
+    from simseg_tpu.tasks.seg_eval import make_seg_predict
 
-    def infer(images: jnp.ndarray, raw_images: jnp.ndarray):
-        tokens = model.apply(
-            params, images, method=lambda m, im: m.forward_image_tokens(im))
-        patches = tokens[:, 1:]
-        pooled = model.apply(
-            params, patches, method=lambda m, t: m.forward_image_project(t))
-        dense = model.apply(
-            params, patches, method=lambda m, t: m.project_image_tokens(t))
-        dense = dense / jnp.maximum(
-            jnp.linalg.norm(dense, axis=-1, keepdims=True), 1e-12)
-        return decode(dense, pooled, bank, raw_images)
+    predict = make_seg_predict(model, cfg, num_classes=num_classes,
+                               top_cls_num=top_cls_num,
+                               patch_size=patch_size)
+    bank = l2_normalize(jnp.asarray(text_bank, jnp.float32))
+
+    def infer(raw_images: jnp.ndarray):
+        return predict(params, raw_images, bank)
 
     return infer
 

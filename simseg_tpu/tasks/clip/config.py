@@ -161,6 +161,7 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     cfg.loss.nce_loss = AttrDict(gather_backward=True)
     cfg.loss.temperature = AttrDict(name="constant", value=0.02)
     cfg.loss.triplet_loss = AttrDict(reduce_mode="max", margin=0.2)
+    cfg.loss.moe_aux_weight = 0.01  # Switch load-balance aux weight (MoE)
 
     # single-modality mixup for loss.name=MixUpNCE (the reference samples
     # alpha inside MixUpNCE, mml_loss.py:146-160; BSGS flips per micro-batch)

@@ -88,9 +88,15 @@ def image_patch_stride(model) -> int:
     return 32
 
 
-def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
-                     canvas: int, patch_size: int = 16):
-    """One jitted fn: images -> (intersection, union) histograms.
+def make_seg_predict(model, cfg, num_classes: int, top_cls_num: int,
+                     patch_size: int = 16):
+    """The full prediction pipeline as one pure fn:
+    ``(params, images_u8, text_bank) -> (pred, conf)`` — device-side
+    normalization, towers (multi-scale / sliding-window per
+    ``cfg.seg_eval``), and the similarity/CRF/morphology decode. Shared by
+    ``make_seg_forward`` (which adds mIoU accumulation) and the serving
+    export (simseg_tpu/serving.py), so the exported artifact runs exactly
+    the evaluated pipeline.
 
     Multi-scale dense inference (``cfg.seg_eval.scales``): the image is also
     encoded at scaled resolutions; each scale's patch-token feature grid is
@@ -179,8 +185,7 @@ def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
         pooled = l2_normalize(pooled_acc / n_windows)
         return dense, pooled
 
-    @jax.jit
-    def forward(params, images_u8, text_bank, labels_padded, gt_h, gt_w):
+    def predict(params, images_u8, text_bank):
         images = normalize_images(images_u8, mean, std)
         if use_window:
             dense, pooled = _sliding_tower(params, images)
@@ -211,8 +216,21 @@ def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
             dense = dense_acc / n_used
             pooled = l2_normalize(pooled_acc / n_used)
         dense = l2_normalize(dense)
+        return decode(dense, pooled, jnp.asarray(text_bank), images_u8)
 
-        pred, _ = decode(dense, pooled, jnp.asarray(text_bank), images_u8)
+    return predict
+
+
+def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
+                     canvas: int, patch_size: int = 16):
+    """One jitted fn: images -> (intersection, union) histograms
+    (``make_seg_predict`` + per-image mIoU confusion accumulation)."""
+    predict = make_seg_predict(model, cfg, num_classes, top_cls_num,
+                               patch_size)
+
+    @jax.jit
+    def forward(params, images_u8, text_bank, labels_padded, gt_h, gt_w):
+        pred, _ = predict(params, images_u8, text_bank)
 
         # per-image: nearest resize to GT size inside the padded canvas,
         # then confusion accumulation (parity: :161-177)

@@ -128,8 +128,7 @@ def test_export_serving_cli(tmp_path):
     from simseg_tpu import serving
 
     fn = serving.load_artifact(str(tmp_path / "seg.shlo"))
-    pred, conf = fn(np.zeros((2, 32, 32, 3), np.float32),
-                    np.zeros((2, 32, 32, 3), np.uint8))
+    pred, conf = fn(np.zeros((2, 32, 32, 3), np.uint8))
     assert pred.shape == (2, 32, 32) and conf.shape == (2, 32, 32)
 
 

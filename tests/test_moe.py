@@ -115,7 +115,7 @@ def test_moe_ep_step_matches_replicated():
     model = tiny_clip(image_arch=arch)
     ep_model = tiny_clip(
         image_arch=arch,
-        expert_sharding=NamedSharding(mesh, P("data", None, None)))
+        expert_sharding=NamedSharding(mesh, P(None, "data", None, None)))
     batch = _batch(16)
     params = model.init(jax.random.key(0), batch)
     cfg = _cfg()

@@ -112,6 +112,20 @@ def test_pp_step_matches_dp():
                                    rtol=3e-4, atol=1e-6)
 
 
+def test_pp_refuses_dropout():
+    """pp forwards run deterministically — configs with dropout must be
+    refused loudly rather than silently trained unregularized."""
+    from simseg_tpu.parallel import make_pp_forward
+
+    mesh = make_mesh(pp_size=2)
+    with pytest.raises(NotImplementedError, match="dropout"):
+        make_pp_forward(tiny_clip(dropout=0.1), mesh, 2)
+    with pytest.raises(NotImplementedError, match="dropout"):
+        make_pp_forward(
+            tiny_clip(projection_name="complex", projection_dropout=0.1),
+            mesh, 2)
+
+
 def test_pp_rejects_indivisible():
     model = tiny_clip()
     batch = _batch(8)

@@ -19,27 +19,65 @@ def _model_and_params():
     return model, model.init(jax.random.key(0), batch)
 
 
+def _seg_cfg():
+    from simseg_tpu.utils.collections import AttrDict
+
+    cfg = AttrDict()
+    cfg.transforms = AttrDict()
+    cfg.transforms.input_size = 32
+    cfg.transforms.normalize = AttrDict(
+        mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225])
+    return cfg
+
+
 def test_seg_artifact_roundtrip(tmp_path):
     model, params = _model_and_params()
     rng = np.random.default_rng(0)
     bank = rng.normal(size=(5, 16)).astype(np.float32)
-    fn = serving.make_seg_infer_fn(model, params, jnp.asarray(bank),
-                                   image_size=32, num_classes=5,
-                                   patch_size=8, top_cls_num=3,
-                                   candidate_classes=2)
-    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    cfg = _seg_cfg()
+    fn = serving.make_seg_infer_fn(model, params, jnp.asarray(bank), cfg,
+                                   num_classes=5, top_cls_num=3,
+                                   patch_size=8)
     raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
 
-    direct_pred, direct_conf = jax.jit(fn)(images, raw)
+    direct_pred, direct_conf = jax.jit(fn)(raw)
 
-    data = serving.export_artifact(fn, (images, raw))
+    data = serving.export_artifact(fn, (raw,))
     path = tmp_path / "seg.shlo"
     serving.save_artifact(str(path), data)
     loaded = serving.load_artifact(str(path))
-    pred, conf = loaded(images, raw)
+    pred, conf = loaded(raw)
 
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(direct_pred))
     np.testing.assert_allclose(np.asarray(conf), np.asarray(direct_conf),
+                               rtol=1e-6)
+
+
+def test_seg_artifact_matches_eval_pipeline(tmp_path):
+    """The exported graph IS make_seg_predict: same pred as the eval tool's
+    forward core on the same raw input."""
+    from simseg_tpu.ops.pooling import l2_normalize
+    from simseg_tpu.tasks.seg_eval import make_seg_predict
+
+    model, params = _model_and_params()
+    rng = np.random.default_rng(2)
+    bank = l2_normalize(jnp.asarray(
+        rng.normal(size=(5, 16)).astype(np.float32)))
+    cfg = _seg_cfg()
+    raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+
+    predict = make_seg_predict(model, cfg, num_classes=5, top_cls_num=3,
+                               patch_size=8)
+    ref_pred, ref_conf = jax.jit(predict)(params, raw, bank)
+
+    fn = serving.make_seg_infer_fn(model, params, bank, cfg,
+                                   num_classes=5, top_cls_num=3,
+                                   patch_size=8)
+    data = serving.export_artifact(fn, (raw,))
+    serving.save_artifact(str(tmp_path / "a.shlo"), data)
+    pred, conf = serving.load_artifact(str(tmp_path / "a.shlo"))(raw)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(ref_pred))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_conf),
                                rtol=1e-6)
 
 

@@ -78,13 +78,11 @@ def main() -> None:
             model, params, classes, tokenizer, cfg.model.max_length))
         top_cls = 30 if args.dataset == "pascal_context" else 10
         fn = serving.make_seg_infer_fn(
-            model, params, bank, image_size=size, num_classes=len(classes),
-            patch_size=image_patch_stride(model), top_cls_num=top_cls,
+            model, params, bank, cfg, num_classes=len(classes),
+            top_cls_num=top_cls, patch_size=image_patch_stride(model),
         )
-        example = (
-            np.zeros((args.batch, size, size, 3), np.float32),
-            np.zeros((args.batch, size, size, 3), np.uint8),
-        )
+        # raw uint8 only: normalization constants are baked into the export
+        example = (np.zeros((args.batch, size, size, 3), np.uint8),)
     else:
         fn = serving.make_embed_fn(model, params)
         example = (
