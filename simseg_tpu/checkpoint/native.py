@@ -120,18 +120,26 @@ def make_orbax_manager(directory: str, max_to_keep: int = 3):
 
     return ocp.CheckpointManager(
         os.path.abspath(directory),
-        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
-                                             create=True),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            create=True,
+            enable_async_checkpointing=True,
+        ),
     )
 
 
 def save_checkpoint_orbax(manager, step: int, state, meta: Optional[Dict[str, Any]] = None) -> None:
+    """Async save: the device arrays are handed to orbax directly (it
+    snapshots and drains them on a background thread), so the train loop
+    never blocks on the D2H pull — which matters doubly on the tunneled
+    platform where host fetches are slow. ``manager.wait_until_finished()``
+    (CheckpointHook.after_run) joins the writer before exit/restore."""
     import orbax.checkpoint as ocp
 
     manager.save(
         step,
         args=ocp.args.Composite(
-            state=ocp.args.StandardSave(jax.device_get(state)),
+            state=ocp.args.StandardSave(state),
             meta=ocp.args.JsonSave(dict(meta or {})),
         ),
     )
@@ -140,6 +148,7 @@ def save_checkpoint_orbax(manager, step: int, state, meta: Optional[Dict[str, An
 def load_checkpoint_orbax(manager, state, step: Optional[int] = None):
     import orbax.checkpoint as ocp
 
+    manager.wait_until_finished()  # join any in-flight async save first
     step = manager.latest_step() if step is None else step
     restored = manager.restore(
         step,

@@ -68,6 +68,9 @@ def new_base_cfg() -> AttrDict:
     cfg.optim.param_group_rules = OpenDict()
     cfg.optim.grad_clip = OpenDict()
     cfg.optim.skip_nonfinite = 0  # >0: skip non-finite updates (NaN guard)
+    cfg.optim.grad_accum_steps = 1  # >1: average grads over k steps (optax
+    # MultiSteps; micro-batch-local negatives — see core/optim.py; for exact
+    # big-batch InfoNCE use runner.name='clip_bsgs')
     cfg.optim.lr = AttrDict()
     cfg.optim.lr.name = "constant_schedule"
     cfg.optim.lr.init = 1e-4

@@ -137,6 +137,17 @@ def build_optimizer(
     if skip_nonfinite > 0:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
 
+    # plain gradient accumulation (beyond reference): average grads over k
+    # runner steps, apply on the k-th. NOTE this averages per-micro-batch
+    # losses — for contrastive training the negatives stay micro-batch
+    # local, which is a DIFFERENT objective than the reference's BSGS
+    # (runner.name='clip_bsgs'), which reproduces exact full-batch InfoNCE
+    # gradients. Use accumulation for memory relief on non-contrastive
+    # objectives (MSE/linear-probe) or when micro-batch negatives suffice.
+    accum = int(cfg.optim.get("grad_accum_steps", 1) or 1)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+
     def set_lr(opt_state, lr):
         """Replace learning_rate in every InjectHyperparamsState
         (parity: BaseLRScheduler.set_lrs)."""

@@ -179,3 +179,36 @@ def test_nan_guard_skips_bad_updates():
     good = {"w": jnp.ones(2)}
     updates, state = tx.update(good, state, params)
     np.testing.assert_allclose(np.asarray(updates["w"]), -0.1, rtol=1e-6)
+
+
+def test_grad_accum_matches_mean_gradient():
+    """optim.grad_accum_steps=k: k micro updates == one update with the
+    mean of the k micro gradients (optax.MultiSteps), and set_lr reaches
+    the inner inject_hyperparams state through the MultiSteps wrapper."""
+    cfg = AttrDict()
+    cfg.optim = AttrDict()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = AttrDict(momentum=0.0)
+    cfg.optim.param_group_rules = AttrDict()
+    cfg.optim.grad_clip = AttrDict()
+    cfg.optim.lr = AttrDict(init=1.0)
+    params = {"w": jnp.asarray([1.0, 2.0])}
+
+    cfg.optim.grad_accum_steps = 2
+    tx, set_lr = build_optimizer(cfg, params)
+    state = set_lr(tx.init(params), 0.1)
+    g1 = {"w": jnp.asarray([1.0, 0.0])}
+    g2 = {"w": jnp.asarray([0.0, 3.0])}
+    up1, state = tx.update(g1, state, params)
+    np.testing.assert_allclose(np.asarray(up1["w"]), 0.0)  # accumulating
+    up2, state = tx.update(g2, state, params)
+    # applied update = -lr * mean(g1, g2)
+    np.testing.assert_allclose(np.asarray(up2["w"]), [-0.05, -0.15],
+                               rtol=1e-6)
+
+    # k=1 path unchanged
+    cfg.optim.grad_accum_steps = 1
+    tx1, set_lr1 = build_optimizer(cfg, params)
+    s1 = set_lr1(tx1.init(params), 0.1)
+    u, _ = tx1.update(g1, s1, params)
+    np.testing.assert_allclose(np.asarray(u["w"]), [-0.1, 0.0], rtol=1e-6)

@@ -81,6 +81,41 @@ def test_seg_artifact_matches_eval_pipeline(tmp_path):
                                rtol=1e-6)
 
 
+def test_seg_artifact_honors_multiscale_cfg(tmp_path):
+    """cfg.seg_eval.scales is baked into the export: a multi-scale artifact
+    matches the multi-scale eval pipeline and differs from single-scale."""
+    from simseg_tpu.utils.collections import AttrDict
+    from simseg_tpu.ops.pooling import l2_normalize
+    from simseg_tpu.tasks.seg_eval import make_seg_predict
+
+    model, params = _model_and_params()
+    rng = np.random.default_rng(3)
+    bank = l2_normalize(jnp.asarray(
+        rng.normal(size=(5, 16)).astype(np.float32)))
+    raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+
+    cfg = _seg_cfg()
+    cfg.seg_eval = AttrDict(scales=[1.0, 0.5])
+    predict = make_seg_predict(model, cfg, num_classes=5, top_cls_num=3,
+                               patch_size=8)
+    ref_conf = jax.jit(predict)(params, raw, bank)[1]
+
+    fn = serving.make_seg_infer_fn(model, params, bank, cfg,
+                                   num_classes=5, top_cls_num=3, patch_size=8)
+    data = serving.export_artifact(fn, (raw,))
+    serving.save_artifact(str(tmp_path / "ms.shlo"), data)
+    conf = serving.load_artifact(str(tmp_path / "ms.shlo"))(raw)[1]
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_conf),
+                               rtol=1e-6)
+
+    single = _seg_cfg()
+    fn1 = serving.make_seg_infer_fn(model, params, bank, single,
+                                    num_classes=5, top_cls_num=3,
+                                    patch_size=8)
+    conf1 = jax.jit(fn1)(raw)[1]
+    assert not np.allclose(np.asarray(conf), np.asarray(conf1))
+
+
 def test_image_patch_stride_standard_tags():
     """Regression: standard timm tags are regex-parsed, not in VIT_CONFIGS —
     the stride lookup must go through resolve_vit_config (16, not the CNN 32
