@@ -40,12 +40,15 @@ MIXUP_FOLD_TAG = 0x7FFFFFFF
 
 
 def _moe_enabled(model) -> bool:
-    """True when the model's image tower has MoE blocks (arch knob
-    ``moe_experts``, models/vit.py) so the loss must collect the sown
+    """True when either tower has MoE blocks (arch knob ``moe_experts``,
+    models/vit.py / models/bert.py) so the loss must collect the sown
     load-balance aux."""
-    tag = getattr(model, "image_tag", "")
-    arch = dict(getattr(model, "image_arch", None) or ())
-    return "vit" in tag and int(arch.get("moe_experts", 0) or 0) > 0
+    img_arch = dict(getattr(model, "image_arch", None) or ())
+    txt_arch = dict(getattr(model, "text_arch", None) or ())
+    img_moe = ("vit" in getattr(model, "image_tag", "")
+               and int(img_arch.get("moe_experts", 0) or 0) > 0)
+    txt_moe = int(txt_arch.get("moe_experts", 0) or 0) > 0
+    return img_moe or txt_moe
 
 
 def mixup_lambda(rng: Optional[jax.Array], step, alpha: float) -> jnp.ndarray:

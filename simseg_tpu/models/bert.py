@@ -23,6 +23,11 @@ class BertLayer(nn.Module):
     intermediate_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # mixture-of-experts FFN (beyond reference, ops/moe.py); same semantics
+    # as models/vit.py ViTBlock
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
+    expert_sharding: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -40,12 +45,19 @@ class BertLayer(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="attention_norm")(x + attn)
 
-        inter = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="intermediate")(x)
-        # exact erf-GELU matches torch bit-for-bit in f32 (parity tests);
-        # in bf16 the tanh approximation's ~1e-3 error sits below bf16
-        # rounding and the erf is a measured VPU bottleneck (+33% ViT fwd)
-        inter = nn.gelu(inter, approximate=self.dtype != jnp.float32)
-        out = nn.Dense(d, dtype=self.dtype, name="output")(inter)
+        if self.moe_experts > 0:
+            from simseg_tpu.ops.moe import MoEMlp
+
+            out = MoEMlp(self.moe_experts, self.intermediate_dim, d,
+                         self.moe_capacity, self.dtype,
+                         self.expert_sharding, name="moe")(x, deterministic)
+        else:
+            inter = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="intermediate")(x)
+            # exact erf-GELU matches torch bit-for-bit in f32 (parity tests);
+            # in bf16 the tanh approximation's ~1e-3 error sits below bf16
+            # rounding and the erf is a measured VPU bottleneck (+33% ViT fwd)
+            inter = nn.gelu(inter, approximate=self.dtype != jnp.float32)
+            out = nn.Dense(d, dtype=self.dtype, name="output")(inter)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="output_norm")(x + out)
 
@@ -62,6 +74,11 @@ class BertEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     remat_policy: str = "none"  # none | dots (see models/vit.py)
+    # MoE FFN in every moe_every-th layer (ops/moe.py; arch knobs)
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity: float = 1.25
+    expert_sharding: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -98,8 +115,13 @@ class BertEncoder(nn.Module):
             layer_cls = nn.remat(BertLayer, static_argnums=(3,),
                                  policy=_remat_policy(self.remat_policy))
         for i in range(self.depth):
+            is_moe = (self.moe_experts > 0
+                      and i % self.moe_every == self.moe_every - 1)
             x = layer_cls(
                 self.num_heads, self.intermediate_dim, self.dropout, self.dtype,
+                moe_experts=self.moe_experts if is_moe else 0,
+                moe_capacity=self.moe_capacity,
+                expert_sharding=self.expert_sharding,
                 name=f"layer_{i}",
             )(x, bias, deterministic)
         return x
@@ -186,7 +208,9 @@ def resolve_bert_config(tag: str, arch: Optional[dict] = None) -> dict:
 
 def build_bert(tag: str, dtype: jnp.dtype = jnp.float32, dropout: float = 0.0,
                remat: bool = False, arch: Optional[dict] = None,
-               remat_policy: str = "none") -> BertEncoder:
+               remat_policy: str = "none",
+               expert_sharding=None) -> BertEncoder:
     spec = resolve_bert_config(tag, arch)
     return BertEncoder(dtype=dtype, dropout=dropout, remat=remat,
-                       remat_policy=remat_policy, **spec)
+                       remat_policy=remat_policy,
+                       expert_sharding=expert_sharding, **spec)

@@ -87,7 +87,8 @@ class CLIPModel(nn.Module):
         self.text_encoder = build_bert(self.text_tag, self.dtype, self.dropout,
                                        remat=self.remat,
                                        arch=dict(self.text_arch or ()),
-                                       remat_policy=self.remat_policy)
+                                       remat_policy=self.remat_policy,
+                                       expert_sharding=self.expert_sharding)
         proj = {
             "simple": lambda name: SimpleProjection(self.projection_dim, self.dtype,
                                                     name=name),

@@ -149,10 +149,12 @@ def make_pp_forward(model, mesh: Mesh, n_micro: int):
     if "vit" not in model.image_tag:
         raise NotImplementedError(
             "pipeline parallelism is implemented for the ViT image tower")
-    if int(dict(model.image_arch or ()).get("moe_experts", 0) or 0) > 0:
+    if (int(dict(model.image_arch or ()).get("moe_experts", 0) or 0) > 0
+            or int(dict(model.text_arch or ()).get("moe_experts", 0) or 0) > 0):
         raise NotImplementedError(
             "pipeline parallelism does not combine with MoE blocks (the "
-            "stage stack needs homogeneous block params)")
+            "stage stack needs homogeneous block params, and the pp forward "
+            "would drop the MoE aux loss)")
     if getattr(model, "dropout", 0.0) or (
             model.projection_name == "complex"
             and getattr(model, "projection_dropout", 0.0)):

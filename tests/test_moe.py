@@ -87,6 +87,34 @@ def test_moe_vit_integration_and_aux():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_moe_text_tower_integration():
+    """moe_experts in the text arch turns every 2nd BERT layer's FFN into
+    MoE; both towers' aux losses are collected (sum over layers)."""
+    model = tiny_clip(image_arch=MOE_ARCH, text_arch=MOE_ARCH)
+    batch = _batch(8)
+    params = model.init(jax.random.key(0), batch)
+    t = params["params"]["text_encoder"]
+    assert "intermediate" in t["layer_0"] and "moe" in t["layer_1"]
+    assert t["layer_1"]["moe"]["w1"].shape[0] == 2
+
+    cfg = _cfg()
+    mesh = make_mesh()
+    tx, set_lr = build_optimizer(cfg, params)
+    step = make_train_step(model, tx, set_lr, mesh=mesh, donate=False)
+    state = TrainState.create(params, tx)
+    _, m_both = step(state, shard_batch(batch, mesh), None, 1e-3)
+
+    img_only = tiny_clip(image_arch=MOE_ARCH)
+    p2 = img_only.init(jax.random.key(0), batch)
+    tx2, set_lr2 = build_optimizer(cfg, p2)
+    step2 = make_train_step(img_only, tx2, set_lr2, mesh=mesh, donate=False)
+    _, m_img = step2(TrainState.create(p2, tx2), shard_batch(batch, mesh),
+                     None, 1e-3)
+    # two MoE towers sow two aux terms; the summed aux is strictly larger
+    # than the single-tower one (each term is ~1 for near-balanced routing)
+    assert float(m_both["moe_aux"]) > float(m_img["moe_aux"]) + 0.5
+
+
 def test_ep_shardings_rules():
     mesh = make_mesh()  # 8-way data
     params = {"params": {"image_encoder": {"blocks_1": {"moe": {
