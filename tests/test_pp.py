@@ -112,6 +112,40 @@ def test_pp_step_matches_dp():
                                    rtol=3e-4, atol=1e-6)
 
 
+def test_pp_composes_with_zero1():
+    """pp + dist.zero1: the GPipe forward runs under the factory-form step
+    with sharded optimizer moments, matching plain DP numerics."""
+    model = tiny_clip()
+    batch = _batch(16)
+    params = model.init(jax.random.key(0), batch)
+    cfg = _cfg()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = AttrDict(momentum=0.9)
+
+    dp_mesh = make_mesh()
+    tx1, set_lr1 = build_optimizer(cfg, params)
+    s1 = TrainState.create(params, tx1)
+    step1 = make_train_step(model, tx1, set_lr1, mesh=dp_mesh, donate=False)
+
+    mesh = make_mesh(pp_size=2)
+    tx2, set_lr2 = build_optimizer(cfg, params)
+    factory = make_train_step(model, tx2, set_lr2, mesh=mesh, donate=False,
+                              pp_micro=2, shard_opt_state=True,
+                              opt_shard_min_size=512)
+    step2, s2 = factory(TrainState.create(params, tx2))
+    sharded = [x for x in jax.tree.leaves(s2.opt_state)
+               if hasattr(x, "sharding") and not x.sharding.is_fully_replicated]
+    assert sharded, "ZeRO-1 moments not sharded under the pp mesh"
+
+    for _ in range(2):
+        s1, m1 = step1(s1, shard_batch(batch, dp_mesh), None, 1e-3)
+        s2, m2 = step2(s2, shard_batch(batch, mesh), None, 1e-3)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-6)
+
+
 def test_pp_refuses_dropout():
     """pp forwards run deterministically — configs with dropout must be
     refused loudly rather than silently trained unregularized."""
