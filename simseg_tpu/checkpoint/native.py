@@ -99,6 +99,24 @@ def load_checkpoint(
     return restored, meta
 
 
+def load_params(path: str, params_template):
+    """Load only the model parameters from a native checkpoint.
+
+    ``path`` may be a concrete checkpoint directory (holding
+    ``train_state.msgpack``) or a ``ckpt.dir``-style parent with a
+    ``latest_ckpt`` pointer. Used where no optimizer state is wanted —
+    serving export (tools/export_serving.py) and external pretrained init."""
+    if (os.path.isdir(path)
+            and not os.path.exists(os.path.join(path, STATE_FILE))):
+        link = os.path.join(path, LATEST)
+        with open(link) as f:
+            path = os.path.join(path, f.read().strip())
+    with open(os.path.join(path, STATE_FILE), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(
+        jax.device_get(params_template), raw["params"])
+
+
 def has_checkpoint(directory: str) -> bool:
     link = os.path.join(directory, LATEST)
     if not os.path.exists(link):

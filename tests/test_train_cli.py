@@ -146,3 +146,57 @@ def test_launch_clip_training_pipeline_parallel(tmp_path):
     assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-3000:]
     assert "'pipe': 2" in result.stdout or "pipe" in result.stdout
     assert "rsum" in result.stdout
+
+
+@pytest.mark.slow
+def test_train_export_serve_roundtrip(tmp_path):
+    """The full production loop: train via launch.py -> native epoch
+    checkpoint -> tools/export_serving.py (native-ckpt branch) -> call the
+    deserialized artifact with raw uint8 — no model code on the 'server'."""
+    data = tmp_path / "data"
+    data.mkdir()
+    _make_clip_data(data)
+    cfg_path = tmp_path / "toy.yaml"
+    cfg_path.write_text(CLIP_YAML)
+    vocab = tmp_path / "vocab.txt"
+    _write_vocab(vocab)
+    (tmp_path / "data" / "label_category").mkdir()
+    (tmp_path / "data" / "label_category" / "pascal_voc.txt").write_text(
+        "background\ndog\ncat\ncar\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = REPO
+
+    train = subprocess.run(
+        [sys.executable, os.path.join(REPO, "launch.py"),
+         "--task", "clip", "--cfg", str(cfg_path),
+         "--vocab_file", str(vocab),
+         f"data.data_path={data}/",
+         f"ckpt.dir={tmp_path}/out"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert train.returncode == 0, train.stdout[-3000:] + train.stderr[-3000:]
+    ckpt_dir = tmp_path / "out" / "toytrain"
+    assert (ckpt_dir / "latest_ckpt").exists()
+
+    export = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_serving.py"),
+         "--cfg", str(cfg_path), "--vocab_file", str(vocab),
+         "--ckpt_path", str(ckpt_dir), "--kind", "seg",
+         "--dataset", "pascal_voc", "--batch", "2",
+         "--out", str(tmp_path / "trained.shlo")],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert export.returncode == 0, export.stdout[-3000:] + export.stderr[-3000:]
+    assert "randomly initialized" not in export.stdout
+
+    from simseg_tpu import serving
+
+    fn = serving.load_artifact(str(tmp_path / "trained.shlo"))
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    pred, conf = fn(raw)
+    assert pred.shape == (2, 32, 32) and conf.shape == (2, 32, 32)
+    assert np.isfinite(np.asarray(conf)).all()

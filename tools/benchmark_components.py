@@ -110,6 +110,20 @@ def main():
     results["seg_end_to_end"] = timed(end_to_end, (params, images, raw, tb),
                                       b, args.iters)
 
+    # MoE image tower (beyond reference, ops/moe.py): 8 experts in every 2nd
+    # block — measures the dense-dispatch routing overhead vs the dense MLP
+    moe_model = model.clone(image_arch=(("moe_experts", 8),))
+    moe_params = moe_model.init(jax.random.key(1), batch)
+
+    @jax.jit
+    def moe_image_fwd(p, x, acc):
+        t = moe_model.apply(p, x,
+                            method=lambda m, im: m.forward_image_tokens(im))
+        return acc + jnp.sum(t).astype(jnp.float32)
+
+    results["image_tower_fwd_moe8"] = timed(
+        moe_image_fwd, (moe_params, images), b, args.iters)
+
     # full contrastive train step (fwd + bwd + AdamW), flagship model
     from simseg_tpu.core.optim import build_optimizer
     from simseg_tpu.engine import TrainState, make_train_step

@@ -57,11 +57,17 @@ def main() -> None:
         "attention_mask": jnp.ones((1, cfg.model.max_length), jnp.int32),
     }
     params = model.init(jax.random.key(0), dummy)
-    if args.ckpt_path:
+    if args.ckpt_path.endswith((".pth", ".pt")):
         from simseg_tpu.checkpoint.torch_bridge import load_clip_checkpoint
 
         params, _report = load_clip_checkpoint(
             args.ckpt_path, params, projection=cfg.model.projection.name)
+    elif args.ckpt_path:
+        # native checkpoint: a concrete checkpoint dir or a ckpt.dir with a
+        # latest_ckpt pointer (what this framework's training writes)
+        from simseg_tpu.checkpoint.native import load_params
+
+        params = load_params(args.ckpt_path, params)
     else:
         print("WARNING: no --ckpt_path, exporting randomly initialized weights")
     platforms = [p for p in args.platforms.split(",") if p] or None
