@@ -2,6 +2,7 @@ from simseg_tpu.checkpoint.native import (
     dump_config_snapshot,
     has_checkpoint,
     load_checkpoint,
+    load_params,
     save_checkpoint,
 )
 from simseg_tpu.checkpoint.torch_bridge import (
@@ -12,10 +13,26 @@ from simseg_tpu.checkpoint.torch_bridge import (
     torch_to_flax,
 )
 
+
+def load_pretrained_params(path: str, params, cfg):
+    """Load model parameters from either checkpoint family by extension:
+    torch ``.pth``/``.pt`` goes through the reference-layout bridge, anything
+    else is treated as a native checkpoint (a concrete checkpoint directory
+    or a ``ckpt.dir`` with a ``latest_ckpt`` pointer). Shared by the eval
+    tools and the serving exporter."""
+    if path.endswith((".pth", ".pt")):
+        new_params, _report = load_clip_checkpoint(
+            path, params, projection=cfg.model.projection.name)
+        return new_params
+    return load_params(path, params)
+
+
 __all__ = [
     "dump_config_snapshot",
     "has_checkpoint",
     "load_checkpoint",
+    "load_params",
+    "load_pretrained_params",
     "save_checkpoint",
     "clip_mapping_table",
     "convert_keys",

@@ -222,13 +222,16 @@ def make_seg_predict(model, cfg, num_classes: int, top_cls_num: int,
 
 
 def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
-                     canvas: int, patch_size: int = 16):
+                     canvas: int, patch_size: int = 16, mesh=None):
     """One jitted fn: images -> (intersection, union) histograms
-    (``make_seg_predict`` + per-image mIoU confusion accumulation)."""
+    (``make_seg_predict`` + per-image mIoU confusion accumulation).
+
+    mesh: shard the batch dim over the mesh's data axes — on a multi-chip
+    host one jit spans all chips and the per-class histograms come back
+    replicated (XLA inserts the cross-chip reduction for the batch sum)."""
     predict = make_seg_predict(model, cfg, num_classes, top_cls_num,
                                patch_size)
 
-    @jax.jit
     def forward(params, images_u8, text_bank, labels_padded, gt_h, gt_w):
         pred, _ = predict(params, images_u8, text_bank)
 
@@ -242,26 +245,50 @@ def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
         inter, union, _, _ = jax.vmap(one)(pred, labels_padded, gt_h, gt_w)
         return jnp.sum(inter, axis=0), jnp.sum(union, axis=0)
 
-    return forward
+    if mesh is not None:
+        from simseg_tpu.parallel.mesh import data_sharding, replicated
+
+        data = data_sharding(mesh)
+        repl = replicated(mesh)
+        return jax.jit(
+            forward,
+            in_shardings=(repl, data, repl, data, data, data),
+            out_shardings=(repl, repl),
+        )
+    return jax.jit(forward)
 
 
 def evaluate_benchmark(loader, model, params, cfg, tokenizer,
                        seg_categories: Sequence[str], top_cls_num: int,
-                       dataset_name: str) -> Tuple[np.ndarray, float]:
-    """Full dataset mIoU (parity: :78-181). Returns (per-class IoU, mIoU)."""
+                       dataset_name: str, mesh=None) -> Tuple[np.ndarray, float]:
+    """Full dataset mIoU (parity: :78-181). Returns (per-class IoU, mIoU).
+
+    mesh: multi-chip batch sharding (see make_seg_forward) — used when the
+    compiled batch divides the mesh's data shards, else single-device."""
     num_classes = len(seg_categories)
     canvas = GT_CANVAS.get(dataset_name, 640)
     logger.info(f"Building zero-shot classifier for {num_classes} classes")
     text_bank = zero_shot_classifier(model, params, seg_categories, tokenizer,
                                      max_length=cfg.model.max_length)
 
+    full_batch = getattr(loader, "batch_size", None)
+    if mesh is not None:
+        from simseg_tpu.parallel.mesh import batch_shards
+
+        if not full_batch or full_batch % batch_shards(mesh) != 0:
+            logger.warning(
+                f"batch_size_val {full_batch} not divisible by the "
+                f"{batch_shards(mesh)}-way mesh; evaluating single-device")
+            mesh = None
+        else:
+            logger.info(f"Sharding eval batches over {mesh}")
     forward = make_seg_forward(model, cfg, num_classes, top_cls_num, canvas,
-                               patch_size=image_patch_stride(model))
+                               patch_size=image_patch_stride(model),
+                               mesh=mesh)
 
     total_i = np.zeros((num_classes,), np.float64)
     total_u = np.zeros((num_classes,), np.float64)
     count = 0
-    full_batch = getattr(loader, "batch_size", None)
     for batch in loader:
         images = batch["image"]  # uint8 (B, S, S, 3)
         labels = batch["mask_label"]  # (B, H, W), 255-padded if sizes varied

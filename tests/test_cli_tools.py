@@ -166,3 +166,66 @@ def test_retrieval_evaluation_cli(tmp_path):
     )
     assert result.returncode == 0, result.stdout + result.stderr
     assert "rsum" in result.stdout
+
+
+def test_retrieval_eval_sharded_matches_single(tmp_path):
+    """Multi-chip retrieval eval: batches sharded over the 8-way mesh (with
+    ragged-final-batch padding) produce the same summary as single-device."""
+    import sys as _sys
+    from io import BytesIO
+
+    import pandas as pd
+
+    _sys.path.insert(0, os.path.join(REPO, "tools"))
+    import retrieval_evaluation as rtool
+
+    from simseg_tpu.config import new_base_cfg, update_cfg
+    from simseg_tpu.data.datasets import DataLoader, ParquetRetrievalDataset
+    from simseg_tpu.data.tokenizer import WordPieceTokenizer, make_test_vocab
+    from simseg_tpu.data.transforms import build_transforms
+    from simseg_tpu.parallel import make_mesh
+    from simseg_tpu.tasks.clip.config import task_cfg_init_fn
+    from tests.test_models import tiny_clip
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(10):  # 10 rows: batch 8 -> one full + one ragged batch
+        buf = BytesIO()
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            buf, "JPEG")
+        rows.append({"imbytes": buf.getvalue(),
+                     "caption": f"a photo of the dog {i}",
+                     "image_id": i // 2, "id": i})
+    (tmp_path / "f30k").mkdir()
+    pd.DataFrame(rows).to_parquet(tmp_path / "f30k" / "valid.parquet")
+
+    cfg = update_cfg(task_cfg_init_fn, None, argv=[
+        f"data.data_path={tmp_path}/",
+        "data.batch_size_val=8",
+        "data.num_workers=1",
+        "model.max_length=12",
+        "transforms.input_size=32",
+        "transforms.resize.size=32",
+        "transforms.valid_transforms=[resize]",
+    ], target=new_base_cfg())
+    tok = WordPieceTokenizer(make_test_vocab(
+        ["a", "photo", "of", "the", "dog"]))
+    model = tiny_clip()
+    import jax
+    import jax.numpy as jnp
+
+    dummy = {"image": jnp.zeros((1, 32, 32, 3)),
+             "input_ids": jnp.zeros((1, 12), jnp.int32),
+             "attention_mask": jnp.ones((1, 12), jnp.int32)}
+    params = model.init(jax.random.key(0), dummy)
+    tf = build_transforms(cfg, "valid")
+
+    def run(mesh):
+        ds = ParquetRetrievalDataset(cfg, "f30k", tok, tf)
+        loader = DataLoader(ds, cfg.data.batch_size_val, num_workers=1)
+        return rtool.evaluate_benchmark(loader, model, params, cfg, mesh=mesh)
+
+    single = run(None)
+    sharded = run(make_mesh())
+    for k in single:
+        assert single[k] == pytest.approx(sharded[k], rel=1e-5), k

@@ -118,6 +118,23 @@ def test_evaluate_benchmark_runs(voc_fixture):
         np.nan_to_num(iou), np.nan_to_num(iou3), rtol=1e-6
     )
 
+    # multi-chip eval: batches sharded over the 8-way data mesh give the
+    # same histograms (batch 8 = 2 real + 6 padded rows, 1 image/device)
+    from simseg_tpu.parallel import make_mesh
+
+    cfg.set_immutable(False)
+    cfg.data.batch_size_val = 8
+    loader4 = build_seg_valid_loader(cfg, "pascal_voc")
+    iou4, miou4 = evaluate_benchmark(
+        loader4, model, params, cfg,
+        tok, ["background", "dog", "cat", "bird"], top_cls_num=3,
+        dataset_name="pascal_voc", mesh=make_mesh(),
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(iou), np.nan_to_num(iou4), rtol=1e-6
+    )
+    assert miou == pytest.approx(miou4, rel=1e-6)
+
 
 def test_label_banks_present():
     for name, expect in [("pascal_voc", 21), ("pascal_context", 60),

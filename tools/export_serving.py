@@ -57,17 +57,12 @@ def main() -> None:
         "attention_mask": jnp.ones((1, cfg.model.max_length), jnp.int32),
     }
     params = model.init(jax.random.key(0), dummy)
-    if args.ckpt_path.endswith((".pth", ".pt")):
-        from simseg_tpu.checkpoint.torch_bridge import load_clip_checkpoint
+    if args.ckpt_path:
+        # torch .pth via the bridge, or a native checkpoint dir / ckpt.dir
+        # (what this framework's training writes) by extension
+        from simseg_tpu.checkpoint import load_pretrained_params
 
-        params, _report = load_clip_checkpoint(
-            args.ckpt_path, params, projection=cfg.model.projection.name)
-    elif args.ckpt_path:
-        # native checkpoint: a concrete checkpoint dir or a ckpt.dir with a
-        # latest_ckpt pointer (what this framework's training writes)
-        from simseg_tpu.checkpoint.native import load_params
-
-        params = load_params(args.ckpt_path, params)
+        params = load_pretrained_params(args.ckpt_path, params, cfg)
     else:
         print("WARNING: no --ckpt_path, exporting randomly initialized weights")
     platforms = [p for p in args.platforms.split(",") if p] or None

@@ -34,16 +34,19 @@ def parse_args():
     return args
 
 
-def evaluate_benchmark(loader, model, params, cfg) -> dict:
-    """parity: reference :65-99 — collect embeddings, summarize."""
+def evaluate_benchmark(loader, model, params, cfg, mesh=None) -> dict:
+    """parity: reference :65-99 — collect embeddings, summarize.
+
+    mesh: shard the batch over the data mesh so one jit spans all local
+    chips (multi-chip eval; ragged final batches are padded to the compiled
+    shape and the padded rows dropped)."""
     import jax
     import jax.numpy as jnp
 
     mean = tuple(cfg.transforms.normalize.mean)
     std = tuple(cfg.transforms.normalize.std)
 
-    @jax.jit
-    def embed(params, images_u8, input_ids, attention_mask):
+    def embed_fn(params, images_u8, input_ids, attention_mask):
         batch = {
             "image": normalize_images(images_u8, mean, std),
             "input_ids": input_ids,
@@ -52,16 +55,42 @@ def evaluate_benchmark(loader, model, params, cfg) -> dict:
         img, txt, _ = model.apply(params, batch, deterministic=True)
         return img.astype(jnp.float32), txt.astype(jnp.float32)
 
+    full_batch = getattr(loader, "batch_size", None)
+    if mesh is not None:
+        from simseg_tpu.parallel.mesh import batch_shards, data_sharding, replicated
+
+        if not full_batch or full_batch % batch_shards(mesh) != 0:
+            logger.warning(
+                f"batch_size_val {full_batch} not divisible by the "
+                f"{batch_shards(mesh)}-way mesh; evaluating single-device")
+            mesh = None
+    if mesh is not None:
+        logger.info(f"Sharding eval batches over {mesh}")
+        embed = jax.jit(
+            embed_fn,
+            in_shardings=(replicated(mesh),) + (data_sharding(mesh),) * 3,
+            out_shardings=(data_sharding(mesh),) * 2,
+        )
+    else:
+        embed = jax.jit(embed_fn)
+
     imgs, txts, iids, cids = [], [], [], []
     for batch in loader:
-        img, txt = embed(
-            params,
-            jnp.asarray(batch["image"]),
-            jnp.asarray(batch["input_ids"]),
-            jnp.asarray(batch["attention_mask"]),
-        )
-        imgs.append(np.asarray(img))
-        txts.append(np.asarray(txt))
+        images = np.asarray(batch["image"])
+        ids = np.asarray(batch["input_ids"])
+        masks = np.asarray(batch["attention_mask"])
+        b = images.shape[0]
+        if full_batch and b < full_batch:
+            # pad the ragged final batch to the compiled (shardable) shape;
+            # padded rows are dropped below (id arrays stay unpadded)
+            pad = full_batch - b
+            images = np.concatenate([images, np.repeat(images[:1], pad, 0)])
+            ids = np.concatenate([ids, np.repeat(ids[:1], pad, 0)])
+            masks = np.concatenate([masks, np.repeat(masks[:1], pad, 0)])
+        img, txt = embed(params, jnp.asarray(images), jnp.asarray(ids),
+                         jnp.asarray(masks))
+        imgs.append(np.asarray(img)[:b])
+        txts.append(np.asarray(txt)[:b])
         iids.append(np.asarray(batch["image_id"]))
         cids.append(np.asarray(batch["caption_id"]))
 
@@ -89,14 +118,16 @@ def main():
     params = model.init(jax.random.key(0), dummy)
 
     if args.ckpt_path:
-        from simseg_tpu.checkpoint.torch_bridge import load_clip_checkpoint
+        from simseg_tpu.checkpoint import load_pretrained_params
 
-        params, _ = load_clip_checkpoint(
-            args.ckpt_path, params, projection=cfg.model.projection.name
-        )
+        params = load_pretrained_params(args.ckpt_path, params, cfg)
         logger.emph(f"Loaded ckpt path: {args.ckpt_path}")
     else:
         logger.warning("No --ckpt_path: evaluating randomly initialized weights")
+
+    from simseg_tpu.parallel import make_mesh
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
 
     tokenizer = build_tokenizer(cfg.model.text_encoder.tag,
                                 vocab_file=args.vocab_file or None)
@@ -106,7 +137,7 @@ def main():
         ds = ParquetRetrievalDataset(cfg, name, tokenizer, tf)
         loader = DataLoader(ds, cfg.data.batch_size_val,
                             num_workers=cfg.data.num_workers)
-        evaluate_benchmark(loader, model, params, cfg)
+        evaluate_benchmark(loader, model, params, cfg, mesh=mesh)
 
 
 if __name__ == "__main__":

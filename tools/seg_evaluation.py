@@ -53,11 +53,9 @@ def main():
     params = model.init(jax.random.key(0), dummy)
 
     if args.ckpt_path:
-        from simseg_tpu.checkpoint.torch_bridge import load_clip_checkpoint
+        from simseg_tpu.checkpoint import load_pretrained_params
 
-        params, report = load_clip_checkpoint(
-            args.ckpt_path, params, projection=cfg.model.projection.name
-        )
+        params = load_pretrained_params(args.ckpt_path, params, cfg)
         logger.emph(f"Loaded ckpt path: {args.ckpt_path}")
     else:
         logger.warning("No --ckpt_path: evaluating randomly initialized weights")
@@ -65,12 +63,18 @@ def main():
     tokenizer = build_tokenizer(cfg.model.text_encoder.tag,
                                 vocab_file=args.vocab_file or None)
 
+    # multi-chip hosts: shard the eval batch over the data mesh (the
+    # reference fans out one DDP process per GPU; here one jit spans chips)
+    from simseg_tpu.parallel import make_mesh
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+
     for name in cfg.data.valid_name:
         loader = build_seg_valid_loader(cfg, name)
         categories = load_label_bank(name)
         top_cls_num = 30 if name == "pascal_context" else 10
         evaluate_benchmark(loader, model, params, cfg, tokenizer, categories,
-                           top_cls_num, name)
+                           top_cls_num, name, mesh=mesh)
 
 
 if __name__ == "__main__":
