@@ -52,10 +52,20 @@ def make_seg_infer_fn(model, params, text_bank: jnp.ndarray, cfg,
     return infer
 
 
-def make_embed_fn(model, params) -> Callable:
-    """(batch dict) -> (image_emb, text_emb) — the retrieval forward."""
+def make_embed_fn(model, params, cfg=None) -> Callable:
+    """(raw uint8 images, input_ids, attention_mask) -> (image_emb,
+    text_emb) — the retrieval forward with device-side normalization baked
+    in (the same graph tools/retrieval_evaluation.py evaluates). With
+    cfg=None the images are taken pre-normalized f32 (library use)."""
+    if cfg is not None:
+        from simseg_tpu.data.transforms import normalize_images
+
+        mean = tuple(cfg.transforms.normalize.mean)
+        std = tuple(cfg.transforms.normalize.std)
 
     def embed(images, input_ids, attention_mask):
+        if cfg is not None:
+            images = normalize_images(images, mean, std)
         img, txt, _ = model.apply(
             params,
             {"image": images, "input_ids": input_ids,

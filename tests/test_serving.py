@@ -116,6 +116,36 @@ def test_seg_artifact_honors_multiscale_cfg(tmp_path):
     assert not np.allclose(np.asarray(conf), np.asarray(conf1))
 
 
+def test_embed_artifact_bakes_normalization(tmp_path):
+    """kind=retrieval with a cfg: raw uint8 in, device-side normalization
+    baked in — matches normalize + model forward."""
+    from simseg_tpu.data.transforms import normalize_images
+
+    model, params = _model_and_params()
+    cfg = _seg_cfg()
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8)
+    ids = rng.integers(0, 128, (4, 12)).astype(np.int32)
+    mask = np.ones((4, 12), np.int32)
+
+    mean = tuple(cfg.transforms.normalize.mean)
+    std = tuple(cfg.transforms.normalize.std)
+    ref_img, ref_txt = jax.jit(lambda p, r, i, m: model.apply(
+        p, {"image": normalize_images(r, mean, std), "input_ids": i,
+            "attention_mask": m}, deterministic=True)[:2])(
+        params, raw, ids, mask)
+
+    fn = serving.make_embed_fn(model, params, cfg)
+    data = serving.export_artifact(fn, (raw, ids, mask))
+    serving.save_artifact(str(tmp_path / "e.shlo"), data)
+    img, txt = serving.load_artifact(str(tmp_path / "e.shlo"))(raw, ids, mask)
+    # ref is a separately-jitted graph: allow f32 fusion-ordering noise
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(txt), np.asarray(ref_txt),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_image_patch_stride_standard_tags():
     """Regression: standard timm tags are regex-parsed, not in VIT_CONFIGS —
     the stride lookup must go through resolve_vit_config (16, not the CNN 32

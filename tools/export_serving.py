@@ -85,9 +85,9 @@ def main() -> None:
         # raw uint8 only: normalization constants are baked into the export
         example = (np.zeros((args.batch, size, size, 3), np.uint8),)
     else:
-        fn = serving.make_embed_fn(model, params)
+        fn = serving.make_embed_fn(model, params, cfg)
         example = (
-            np.zeros((args.batch, size, size, 3), np.float32),
+            np.zeros((args.batch, size, size, 3), np.uint8),
             np.zeros((args.batch, cfg.model.max_length), np.int32),
             np.ones((args.batch, cfg.model.max_length), np.int32),
         )
