@@ -31,14 +31,19 @@ from simseg_tpu.ops.pooling import l2_normalize
 
 def make_seg_infer_fn(model, params, text_bank: jnp.ndarray, cfg,
                       num_classes: int, top_cls_num: int,
-                      patch_size: int = 16) -> Callable:
+                      patch_size: int = 16,
+                      bake_weights: bool = True) -> Callable:
     """raw uint8 images (B, S, S, 3) -> (pred, conf).
 
     The full on-device pipeline of tools/seg_evaluation.py — exactly
     ``tasks/seg_eval.py make_seg_predict`` with weights and the (L2-normed)
     text bank closed over, so every ``cfg.seg_eval`` knob the evaluated
     pipeline honors (scales, window, bilateral_stride, crf_backend) is
-    baked into the export."""
+    baked into the export.
+
+    bake_weights=False: the returned fn takes ``(params, raw_images)`` so
+    the export stages weights as *arguments* instead of constants — for
+    the separate-weights artifact layout (see export_artifact_separate)."""
     from simseg_tpu.tasks.seg_eval import make_seg_predict
 
     predict = make_seg_predict(model, cfg, num_classes=num_classes,
@@ -46,35 +51,44 @@ def make_seg_infer_fn(model, params, text_bank: jnp.ndarray, cfg,
                                patch_size=patch_size)
     bank = l2_normalize(jnp.asarray(text_bank, jnp.float32))
 
+    if not bake_weights:
+        return lambda p, raw_images: predict(p, raw_images, bank)
+
     def infer(raw_images: jnp.ndarray):
         return predict(params, raw_images, bank)
 
     return infer
 
 
-def make_embed_fn(model, params, cfg=None) -> Callable:
+def make_embed_fn(model, params, cfg=None,
+                  bake_weights: bool = True) -> Callable:
     """(raw uint8 images, input_ids, attention_mask) -> (image_emb,
     text_emb) — the retrieval forward with device-side normalization baked
     in (the same graph tools/retrieval_evaluation.py evaluates). With
-    cfg=None the images are taken pre-normalized f32 (library use)."""
+    cfg=None the images are taken pre-normalized f32 (library use).
+    bake_weights=False: fn takes ``(params, images, ids, mask)`` for the
+    separate-weights layout."""
     if cfg is not None:
         from simseg_tpu.data.transforms import normalize_images
 
         mean = tuple(cfg.transforms.normalize.mean)
         std = tuple(cfg.transforms.normalize.std)
 
-    def embed(images, input_ids, attention_mask):
+    def embed_with(p, images, input_ids, attention_mask):
         if cfg is not None:
             images = normalize_images(images, mean, std)
         img, txt, _ = model.apply(
-            params,
+            p,
             {"image": images, "input_ids": input_ids,
              "attention_mask": attention_mask},
             deterministic=True,
         )
         return img.astype(jnp.float32), txt.astype(jnp.float32)
 
-    return embed
+    if not bake_weights:
+        return embed_with
+    return lambda images, input_ids, attention_mask: embed_with(
+        params, images, input_ids, attention_mask)
 
 
 def export_artifact(fn: Callable, example_args: Sequence,
@@ -84,7 +98,10 @@ def export_artifact(fn: Callable, example_args: Sequence,
     platforms: lowering targets (default: the current backend). Pass
     ('tpu',) to produce a TPU artifact from a CPU host."""
     specs = tuple(
-        jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype)
+        jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype),
+            a,
+        )
         for a in example_args
     )
     exp = jax_export.export(jax.jit(fn),
@@ -99,7 +116,45 @@ def save_artifact(path: str, data: bytes) -> None:
 
 
 def load_artifact(path: str) -> Callable:
-    """Deserialize an exported artifact into a callable (runs under jit)."""
+    """Deserialize an exported artifact into a callable.
+
+    The call is wrapped in ``jax.jit`` so repeat invocations hit the
+    compiled-executable cache — a bare ``Exported.call`` re-traces on every
+    invocation (measured ~400x slower in steady state)."""
     with open(path, "rb") as f:
         exp = jax_export.deserialize(f.read())
-    return lambda *args: exp.call(*args)
+    return jax.jit(exp.call)
+
+
+def export_artifact_separate(fn: Callable, params, example_args: Sequence,
+                             path: str,
+                             platforms: Optional[Sequence[str]] = None) -> None:
+    """Separate-weights layout: ``fn(params, *data)`` is staged with the
+    parameters as *arguments* (not constants) and written to ``path``, with
+    the weight pytree serialized alongside as ``<path>.weights`` (flax
+    msgpack). Compared to the baked layout the graph stays a few MB (the
+    compile payload matters behind size-capped relays) and weights rotate
+    by replacing one file — no re-export. ``load_artifact_separate`` binds
+    them back together."""
+    from flax import serialization
+
+    host_params = jax.device_get(params)
+    save_artifact(path, export_artifact(fn, (host_params,) + tuple(example_args),
+                                        platforms=platforms))
+    with open(path + ".weights", "wb") as f:
+        f.write(serialization.to_bytes(host_params))
+
+
+def load_artifact_separate(path: str) -> Callable:
+    """Load a separate-weights artifact: returns a data-only callable with
+    the weights from ``<path>.weights`` bound as the first argument. The
+    weights are committed to the default device once at load time — binding
+    host arrays instead would re-transfer the full parameter set on every
+    call."""
+    from flax import serialization
+
+    call = load_artifact(path)
+    with open(path + ".weights", "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    params = jax.device_put(params)
+    return lambda *args: call(params, *args)

@@ -146,6 +146,35 @@ def test_embed_artifact_bakes_normalization(tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_separate_weights_artifact_matches_baked(tmp_path):
+    """weights='separate': graph exported with weights as arguments +
+    a .weights sidecar — same predictions as the baked artifact, and the
+    graph file is much smaller than the weights."""
+    model, params = _model_and_params()
+    rng = np.random.default_rng(6)
+    bank = rng.normal(size=(5, 16)).astype(np.float32)
+    cfg = _seg_cfg()
+    raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+
+    baked = serving.make_seg_infer_fn(model, params, jnp.asarray(bank), cfg,
+                                      num_classes=5, top_cls_num=3,
+                                      patch_size=8)
+    ref_pred, ref_conf = jax.jit(baked)(raw)
+
+    fn = serving.make_seg_infer_fn(model, params, jnp.asarray(bank), cfg,
+                                   num_classes=5, top_cls_num=3,
+                                   patch_size=8, bake_weights=False)
+    path = str(tmp_path / "sep.shlo")
+    serving.export_artifact_separate(fn, params, (raw,), path)
+    assert (tmp_path / "sep.shlo.weights").exists()
+
+    loaded = serving.load_artifact_separate(path)
+    pred, conf = loaded(raw)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(ref_pred))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_conf),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_image_patch_stride_standard_tags():
     """Regression: standard timm tags are regex-parsed, not in VIT_CONFIGS —
     the stride lookup must go through resolve_vit_config (16, not the CNN 32

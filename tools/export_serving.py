@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--vocab_file", default="")
     ap.add_argument("--platforms", default="",
                     help="comma-separated lowering targets, e.g. 'tpu'")
+    ap.add_argument("--weights", choices=("baked", "separate"),
+                    default="baked",
+                    help="'baked': weights are constants in one artifact; "
+                         "'separate': weights as graph arguments, written "
+                         "to <out>.weights (small compile payload, weight "
+                         "rotation without re-export)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -78,24 +84,35 @@ def main() -> None:
         bank = jnp.asarray(zero_shot_classifier(
             model, params, classes, tokenizer, cfg.model.max_length))
         top_cls = 30 if args.dataset == "pascal_context" else 10
+        baked = args.weights == "baked"
         fn = serving.make_seg_infer_fn(
             model, params, bank, cfg, num_classes=len(classes),
             top_cls_num=top_cls, patch_size=image_patch_stride(model),
+            bake_weights=baked,
         )
         # raw uint8 only: normalization constants are baked into the export
         example = (np.zeros((args.batch, size, size, 3), np.uint8),)
     else:
-        fn = serving.make_embed_fn(model, params, cfg)
+        baked = args.weights == "baked"
+        fn = serving.make_embed_fn(model, params, cfg, bake_weights=baked)
         example = (
             np.zeros((args.batch, size, size, 3), np.uint8),
             np.zeros((args.batch, cfg.model.max_length), np.int32),
             np.ones((args.batch, cfg.model.max_length), np.int32),
         )
 
-    data = serving.export_artifact(fn, example, platforms=platforms)
-    serving.save_artifact(args.out, data)
-    print(f"wrote {args.out} ({len(data) / 1e6:.1f} MB, kind={args.kind}, "
-          f"batch={args.batch}, input={size}px)")
+    if baked:
+        data = serving.export_artifact(fn, example, platforms=platforms)
+        serving.save_artifact(args.out, data)
+        size_mb = len(data) / 1e6
+    else:
+        serving.export_artifact_separate(fn, params, example, args.out,
+                                         platforms=platforms)
+        size_mb = os.path.getsize(args.out) / 1e6
+        print(f"wrote {args.out}.weights "
+              f"({os.path.getsize(args.out + '.weights') / 1e6:.1f} MB)")
+    print(f"wrote {args.out} ({size_mb:.1f} MB, kind={args.kind}, "
+          f"weights={args.weights}, batch={args.batch}, input={size}px)")
 
 
 if __name__ == "__main__":
