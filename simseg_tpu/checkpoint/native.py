@@ -102,19 +102,43 @@ def load_checkpoint(
 def load_params(path: str, params_template):
     """Load only the model parameters from a native checkpoint.
 
-    ``path`` may be a concrete checkpoint directory (holding
-    ``train_state.msgpack``) or a ``ckpt.dir``-style parent with a
-    ``latest_ckpt`` pointer. Used where no optimizer state is wanted —
-    serving export (tools/export_serving.py) and external pretrained init."""
+    ``path`` may be a concrete msgpack checkpoint directory (holding
+    ``train_state.msgpack``), a ``ckpt.dir``-style parent with a
+    ``latest_ckpt`` pointer, or an orbax CheckpointManager directory
+    (``cfg.ckpt.backend='orbax'`` runs — numeric step dirs). Used where no
+    optimizer state is wanted — serving export (tools/export_serving.py)
+    and external pretrained init."""
     if (os.path.isdir(path)
             and not os.path.exists(os.path.join(path, STATE_FILE))):
         link = os.path.join(path, LATEST)
+        if not os.path.exists(link) and _looks_like_orbax_dir(path):
+            return _load_params_orbax(path, params_template)
         with open(link) as f:
             path = os.path.join(path, f.read().strip())
     with open(os.path.join(path, STATE_FILE), "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     return serialization.from_state_dict(
         jax.device_get(params_template), raw["params"])
+
+
+def _looks_like_orbax_dir(path: str) -> bool:
+    return any(name.isdigit() for name in os.listdir(path))
+
+
+def _load_params_orbax(path: str, params_template):
+    """Params-only restore from an orbax CheckpointManager directory: the
+    raw 'state' item is read without a TrainState template (we have only
+    the param tree) and the params subtree coerced onto the template."""
+    import orbax.checkpoint as ocp
+
+    mgr = make_orbax_manager(path)
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no orbax checkpoints under {path}")
+    restored = mgr.restore(step, args=ocp.args.Composite(
+        state=ocp.args.StandardRestore()))
+    return serialization.from_state_dict(
+        jax.device_get(params_template), restored["state"]["params"])
 
 
 def has_checkpoint(directory: str) -> bool:
@@ -147,11 +171,14 @@ def make_orbax_manager(directory: str, max_to_keep: int = 3):
 
 
 def save_checkpoint_orbax(manager, step: int, state, meta: Optional[Dict[str, Any]] = None) -> None:
-    """Async save: the device arrays are handed to orbax directly (it
-    snapshots and drains them on a background thread), so the train loop
-    never blocks on the D2H pull — which matters doubly on the tunneled
-    platform where host fetches are slow. ``manager.wait_until_finished()``
-    (CheckpointHook.after_run) joins the writer before exit/restore."""
+    """Async save: the device arrays are handed to orbax directly. Orbax's
+    blocking phase is the device-to-host snapshot (so donated buffers from
+    the next train step can never corrupt the checkpoint); the storage
+    write then drains on its background thread. Handing over the arrays
+    (rather than a pre-pulled jax.device_get copy) avoids a duplicate host
+    copy and lets orbax fetch per-array. ``manager.wait_until_finished()``
+    (CheckpointHook.after_run / load) joins the writer before exit or
+    restore."""
     import orbax.checkpoint as ocp
 
     manager.save(

@@ -35,6 +35,7 @@ class BertLayer(nn.Module):
         x: jnp.ndarray,
         attention_bias: Optional[jnp.ndarray],
         deterministic: bool = True,
+        token_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         d = x.shape[-1]
         q = nn.Dense(d, dtype=self.dtype, name="query")(x)
@@ -50,7 +51,8 @@ class BertLayer(nn.Module):
 
             out = MoEMlp(self.moe_experts, self.intermediate_dim, d,
                          self.moe_capacity, self.dtype,
-                         self.expert_sharding, name="moe")(x, deterministic)
+                         self.expert_sharding, name="moe")(
+                x, deterministic, token_mask)
         else:
             inter = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="intermediate")(x)
             # exact erf-GELU matches torch bit-for-bit in f32 (parity tests);
@@ -123,7 +125,8 @@ class BertEncoder(nn.Module):
                 moe_capacity=self.moe_capacity,
                 expert_sharding=self.expert_sharding,
                 name=f"layer_{i}",
-            )(x, bias, deterministic)
+            )(x, bias, deterministic,
+              attention_mask if is_moe else None)
         return x
 
 

@@ -56,7 +56,13 @@ class MoEMlp(nn.Module):
     expert_sharding: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 token_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """token_mask: optional (B, T) 0/1 — masked (padding) positions are
+        excluded from routing, expert capacity, and the load-balance aux
+        statistics; their MoE output is zero (the block's residual carries
+        them through). Without it a padded text tower would spend ~80% of
+        its capacity and balancing signal on [PAD] embeddings."""
         b, t, d = x.shape
         e = self.num_experts
         capacity = max(int(math.ceil(t / e * self.capacity_factor)), 1)
@@ -69,6 +75,10 @@ class MoEMlp(nn.Module):
         gate = jnp.max(probs, axis=-1)  # (B, T)
 
         assign = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)  # (B, T, E)
+        if token_mask is not None:
+            keep = token_mask.astype(jnp.float32)  # (B, T)
+            assign = assign * keep[:, :, None]
+            gate = gate * keep
         # position of each token within its (per-sample) expert buffer
         pos = jnp.cumsum(assign, axis=1) * assign - 1.0
         within = (pos >= 0) & (pos < capacity)
@@ -76,11 +86,19 @@ class MoEMlp(nn.Module):
         dispatch = jax.nn.one_hot(
             jnp.where(within, pos, -1).astype(jnp.int32), capacity,
             dtype=x.dtype)  # one_hot(-1) = all-zeros row
+        if token_mask is not None:
+            dispatch = dispatch * keep.astype(x.dtype)[:, :, None, None]
         combine = dispatch * (gate.astype(x.dtype))[:, :, None, None]
 
         # Switch aux loss: E * sum_e (fraction of tokens -> e) * (mean prob e)
-        f_e = jnp.mean(assign, axis=(0, 1))
-        p_e = jnp.mean(probs, axis=(0, 1))
+        # — statistics over REAL tokens only when a mask is given
+        if token_mask is None:
+            f_e = jnp.mean(assign, axis=(0, 1))
+            p_e = jnp.mean(probs, axis=(0, 1))
+        else:
+            denom = jnp.maximum(jnp.sum(keep), 1.0)
+            f_e = jnp.sum(assign, axis=(0, 1)) / denom
+            p_e = jnp.sum(probs * keep[:, :, None], axis=(0, 1)) / denom
         self.sow("intermediates", "moe_aux", e * jnp.sum(f_e * p_e))
 
         w1 = self.param("w1", nn.initializers.lecun_normal(),

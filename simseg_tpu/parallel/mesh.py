@@ -172,6 +172,25 @@ def device_prefetch(iterator, mesh: Mesh, size: int = 2):
         yield queue.popleft()
 
 
+def eval_mesh(mesh: Optional[Mesh], loader_batch) -> Optional[Mesh]:
+    """Gate a mesh for sharded evaluation: returns the mesh when the
+    compiled loader batch divides its batch shards, else None with a
+    warning (single-device fallback). Shared by the standalone eval tools
+    so their multi-chip behavior cannot diverge."""
+    from simseg_tpu.utils.logger import logger
+
+    if mesh is None:
+        return None
+    n = batch_shards(mesh)
+    if not loader_batch or loader_batch % n != 0:
+        logger.warning(
+            f"batch_size_val {loader_batch} not divisible by the "
+            f"{n}-way mesh; evaluating single-device")
+        return None
+    logger.info(f"Sharding eval batches over {mesh}")
+    return mesh
+
+
 def batch_shards(mesh: Mesh) -> int:
     """Number of ways the batch dim is split (product of data-axis sizes)."""
     n = 1

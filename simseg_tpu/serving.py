@@ -97,13 +97,16 @@ def export_artifact(fn: Callable, example_args: Sequence,
 
     platforms: lowering targets (default: the current backend). Pass
     ('tpu',) to produce a TPU artifact from a CPU host."""
-    specs = tuple(
-        jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype),
-            a,
-        )
-        for a in example_args
-    )
+    def spec_of(x):
+        # read shape/dtype without touching the data: jnp.asarray here
+        # would device-transfer every leaf (the full parameter tree in the
+        # separate-weights path) just to read a dtype
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        a = np.asarray(x)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    specs = tuple(jax.tree.map(spec_of, a) for a in example_args)
     exp = jax_export.export(jax.jit(fn),
                             platforms=tuple(platforms) if platforms else None)(
         *specs)

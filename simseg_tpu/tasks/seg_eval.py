@@ -272,16 +272,9 @@ def evaluate_benchmark(loader, model, params, cfg, tokenizer,
                                      max_length=cfg.model.max_length)
 
     full_batch = getattr(loader, "batch_size", None)
-    if mesh is not None:
-        from simseg_tpu.parallel.mesh import batch_shards
+    from simseg_tpu.parallel.mesh import eval_mesh
 
-        if not full_batch or full_batch % batch_shards(mesh) != 0:
-            logger.warning(
-                f"batch_size_val {full_batch} not divisible by the "
-                f"{batch_shards(mesh)}-way mesh; evaluating single-device")
-            mesh = None
-        else:
-            logger.info(f"Sharding eval batches over {mesh}")
+    mesh = eval_mesh(mesh, full_batch)
     forward = make_seg_forward(model, cfg, num_classes, top_cls_num, canvas,
                                patch_size=image_patch_stride(model),
                                mesh=mesh)

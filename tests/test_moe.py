@@ -168,3 +168,51 @@ def test_moe_ep_step_matches_replicated():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=1e-6)
+
+
+def test_moe_token_mask_excludes_padding():
+    """Masked (padding) positions: zero MoE output, no capacity consumed,
+    aux statistics over real tokens only."""
+    m = MoEMlp(num_experts=2, hidden_dim=8, out_dim=6, capacity_factor=4.0)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 6, 6)).astype(np.float32))
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 0, 0]], jnp.int32)
+    params = m.init(jax.random.key(0), x)
+
+    y, inter = m.apply(params, x, True, mask, mutable=["intermediates"])
+    y = np.asarray(y)
+    # padded positions produce exactly zero
+    assert np.abs(y[0, 3:]).max() == 0.0 and np.abs(y[1, 4:]).max() == 0.0
+    # real positions match the unmasked forward on the same tokens
+    y_full = np.asarray(m.apply(params, x))
+    np.testing.assert_allclose(y[0, :3], y_full[0, :3], rtol=1e-5, atol=1e-6)
+
+    # aux computed over real tokens only: replacing PAD embeddings with
+    # garbage must not change it
+    x2 = x.at[0, 3:].set(1e3)
+    _, inter2 = m.apply(params, x2, True, mask, mutable=["intermediates"])
+    a1 = float(np.asarray(jax.tree.leaves(inter)[0]))
+    a2 = float(np.asarray(jax.tree.leaves(inter2)[0]))
+    assert a1 == pytest.approx(a2, rel=1e-6)
+
+
+def test_bert_moe_masks_padding():
+    """The text tower threads its attention mask into the MoE layers."""
+    model = tiny_clip(text_arch=MOE_ARCH)
+    batch = _batch(4)
+    batch = dict(batch)
+    mask = np.ones((4, 12), np.int32)
+    mask[:, 6:] = 0
+    batch["attention_mask"] = jnp.asarray(mask)
+    params = model.init(jax.random.key(0), batch)
+    (img, txt, temp), inter = model.apply(
+        params, batch, deterministic=True, mutable=["intermediates"])
+    # garbage in the padded token ids must not move the aux loss
+    batch2 = dict(batch)
+    batch2["input_ids"] = jnp.asarray(
+        np.where(mask, np.asarray(batch["input_ids"]), 99))
+    (_, _, _), inter2 = model.apply(
+        params, batch2, deterministic=True, mutable=["intermediates"])
+    a1 = [float(np.asarray(v)) for v in jax.tree.leaves(inter)]
+    a2 = [float(np.asarray(v)) for v in jax.tree.leaves(inter2)]
+    np.testing.assert_allclose(a1, a2, rtol=1e-6)

@@ -56,16 +56,10 @@ def evaluate_benchmark(loader, model, params, cfg, mesh=None) -> dict:
         return img.astype(jnp.float32), txt.astype(jnp.float32)
 
     full_batch = getattr(loader, "batch_size", None)
-    if mesh is not None:
-        from simseg_tpu.parallel.mesh import batch_shards, data_sharding, replicated
+    from simseg_tpu.parallel.mesh import data_sharding, eval_mesh, replicated
 
-        if not full_batch or full_batch % batch_shards(mesh) != 0:
-            logger.warning(
-                f"batch_size_val {full_batch} not divisible by the "
-                f"{batch_shards(mesh)}-way mesh; evaluating single-device")
-            mesh = None
+    mesh = eval_mesh(mesh, full_batch)
     if mesh is not None:
-        logger.info(f"Sharding eval batches over {mesh}")
         embed = jax.jit(
             embed_fn,
             in_shardings=(replicated(mesh),) + (data_sharding(mesh),) * 3,
