@@ -59,6 +59,9 @@ def _write_vocab(path):
 def _run(args, cwd):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # 8 virtual devices so the tools' multi-chip mesh path (eval_mesh
+    # sharding or its divisibility fallback) is exercised end-to-end
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env["PYTHONPATH"] = REPO
     return subprocess.run(
         [sys.executable] + args, cwd=cwd, env=env,
