@@ -393,8 +393,6 @@ struct Pool {
   std::queue<std::function<void()>> jobs;
   std::mutex mu;
   std::condition_variable cv;
-  std::condition_variable done_cv;
-  int pending = 0;
   bool stop = false;
 
   explicit Pool(int n) {
@@ -410,10 +408,6 @@ struct Pool {
             jobs.pop();
           }
           job();
-          {
-            std::lock_guard<std::mutex> lk(mu);
-            if (--pending == 0) done_cv.notify_all();
-          }
         }
       });
   }
@@ -427,15 +421,30 @@ struct Pool {
     for (auto& t : workers) t.join();
   }
 
+  // Per-batch completion state (not a pool-global pending count): two
+  // threads sharing one pool each wait only for their own batch, and are
+  // not woken by the other caller's completions.
   void run_all(std::vector<std::function<void()>> batch) {
+    if (batch.empty()) return;
+    struct BatchState {
+      std::mutex mu;
+      std::condition_variable cv;
+      int remaining;
+    };
+    auto state = std::make_shared<BatchState>();
+    state->remaining = (int)batch.size();
     {
       std::lock_guard<std::mutex> lk(mu);
-      pending += (int)batch.size();
-      for (auto& j : batch) jobs.push(std::move(j));
+      for (auto& j : batch)
+        jobs.push([state, job = std::move(j)] {
+          job();
+          std::lock_guard<std::mutex> lk(state->mu);
+          if (--state->remaining == 0) state->cv.notify_all();
+        });
     }
     cv.notify_all();
-    std::unique_lock<std::mutex> lk(mu);
-    done_cv.wait(lk, [this] { return pending == 0; });
+    std::unique_lock<std::mutex> lk(state->mu);
+    state->cv.wait(lk, [&] { return state->remaining == 0; });
   }
 };
 

@@ -395,6 +395,12 @@ class TransformPipeline:
                 w, h = native.image_size(data)
                 if w < size or h < size:
                     return None  # see center_crop: PIL pads, native can't
+                if w == size and h == size:
+                    # mirror the PIL op's early return WITHOUT touching the
+                    # rng, keeping the shared `random` stream aligned
+                    # between the PIL and native paths in seeded runs
+                    return ((0, 0, size, size), (size, size),
+                            native.FILTER_BILINEAR, 1)
                 left = random.randint(0, max(0, w - size))
                 top = random.randint(0, max(0, h - size))
                 return ((left, top, size, size), (size, size),

@@ -49,6 +49,29 @@ def multi_head_attention(
     # silently promote the whole score tensor to f32
     qh = qh * jnp.asarray(hd, jnp.float32).astype(qh.dtype) ** -0.5
 
+    def einsum_attn(qh, kh, vh):
+        # scores accumulate in the compute dtype on the MXU (bf16 in the
+        # bf16 policy)
+        score_t = jnp.float32 if dtype == jnp.float32 else jnp.bfloat16
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=score_t)
+        if attention_bias is not None:
+            scores = scores + attention_bias.astype(scores.dtype)
+        if dtype == jnp.float32:
+            probs = jax.nn.softmax(scores, axis=-1)
+        else:
+            # bandwidth-light softmax for the bf16 policy: the (B, H, Tq, Tk)
+            # score tensor never round-trips through f32 HBM (a measured +15%
+            # ViT-B fwd throughput); max-subtraction keeps exp in range and
+            # the normalizing sum accumulates in f32
+            m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
+            e = jnp.exp(scores - m)
+            s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            probs = (e / s.astype(e.dtype)).astype(dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
+                         preferred_element_type=score_t)
+        return out.astype(dtype)
+
     if use_flash != "never" and attention_bias is None:
         # (the kernel has no bias input — a biased call must use the einsum
         # path regardless of mode, or padding masks would be dropped)
@@ -58,30 +81,23 @@ def multi_head_attention(
             out = flash_mha(qh, kh, vh, True)
             return out.reshape(b, tq, d).astype(dtype)
         if flash_supported(tq, tk, hd, dtype, attention_bias):
-            out = flash_mha(qh, kh, vh, False)
-            return out.reshape(b, tq, d).astype(dtype)
+            # The kernel-vs-einsum choice is resolved per LOWERING PLATFORM
+            # (lax.platform_dependent), not by the tracing host's backend:
+            # an artifact exported from a CPU host with platforms=('tpu',)
+            # bakes the same Pallas path live TPU eval takes, so serving.py's
+            # served-equals-evaluated guarantee holds regardless of which
+            # host staged the export. CPU lowerings (tests, cpu artifacts)
+            # statically resolve to the einsum branch — the TPU kernel is
+            # never lowered for them.
+            out = jax.lax.platform_dependent(
+                qh, kh, vh,
+                tpu=lambda a, b_, c: flash_mha(a, b_, c, False)
+                .astype(dtype),
+                default=einsum_attn,
+            )
+            return out.reshape(b, tq, d)
 
-    # scores accumulate in the compute dtype on the MXU (bf16 in the bf16
-    # policy)
-    score_t = jnp.float32 if dtype == jnp.float32 else jnp.bfloat16
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                        preferred_element_type=score_t)
-    if attention_bias is not None:
-        scores = scores + attention_bias.astype(scores.dtype)
-    if dtype == jnp.float32:
-        probs = jax.nn.softmax(scores, axis=-1)
-    else:
-        # bandwidth-light softmax for the bf16 policy: the (B, H, Tq, Tk)
-        # score tensor never round-trips through f32 HBM (a measured +15%
-        # ViT-B fwd throughput); max-subtraction keeps exp in range and the
-        # normalizing sum accumulates in f32
-        m = jax.lax.stop_gradient(jnp.max(scores, axis=-1, keepdims=True))
-        e = jnp.exp(scores - m)
-        s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
-        probs = (e / s.astype(e.dtype)).astype(dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
-                     preferred_element_type=score_t)
-    return out.reshape(b, tq, d).astype(dtype)
+    return einsum_attn(qh, kh, vh).reshape(b, tq, d)
 
 
 def padding_bias(attention_mask: jnp.ndarray, dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:

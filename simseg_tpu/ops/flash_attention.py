@@ -127,8 +127,11 @@ def flash_supported(tq: int, tk: int, hd: int, dtype,
     """The fused kernel applies when: no additive bias (ViT path; the BERT
     padding-mask path keeps the einsum formulation), sequences long enough
     that it beats XLA's batched-einsum lowering, short enough for one VMEM
-    tile, lane-aligned head_dim, and a real accelerator backend (the CPU
-    interpreter is for tests).
+    tile, and lane-aligned head_dim. These are all static shape/dtype
+    checks: the final TPU-vs-other routing happens per lowering platform
+    via ``lax.platform_dependent`` at the call site (ops/attention.py), so
+    a CPU host exporting a TPU artifact bakes the same kernel path live
+    TPU eval takes.
 
     Threshold is MEASURED (v5e, bf16, ViT-B heads): at T=325 the einsum
     path wins (1.77 vs 2.38 ms — the kernel's per-(b,h) programs are too
@@ -142,4 +145,4 @@ def flash_supported(tq: int, tk: int, hd: int, dtype,
         return False
     if hd % 64 != 0 or hd > 256:
         return False
-    return jax.default_backend() != "cpu"
+    return True

@@ -50,14 +50,56 @@ def test_gradients_match_einsum():
 
 def test_supported_gating():
     bf16, f32 = jnp.bfloat16, jnp.float32
-    # CPU backend in tests -> always False via the backend leg; check the
-    # shape/dtype legs directly
+    # the gate is purely static (shape/dtype); TPU-vs-other routing happens
+    # per lowering platform at the call site (lax.platform_dependent)
     assert not flash_supported(1297, 1297, 64, f32, None)  # f32 parity lane
     assert not flash_supported(25, 25, 64, bf16, None)  # too short (BERT)
     assert not flash_supported(325, 325, 64, bf16, None)  # einsum wins here
     assert not flash_supported(1297, 1297, 48, bf16, None)  # lane-misaligned
     assert not flash_supported(1297, 1297, 64, bf16, jnp.zeros((1, 1, 1, 1297)))
     assert not flash_supported(4096, 4096, 64, bf16, None)  # > VMEM tile
+    assert flash_supported(1297, 1297, 64, bf16, None)  # the seg 576px case
+
+
+def test_platform_routing_on_cpu():
+    """A kernel-eligible shape on a CPU lowering resolves to the einsum
+    branch of lax.platform_dependent (no Pallas TPU lowering attempted) and
+    matches use_flash='never' exactly."""
+    q, k, v = _qkv(b=1, t=1024, d=128)
+    assert flash_supported(1024, 1024, 64, jnp.bfloat16, None)
+    ref = multi_head_attention(q, k, v, 2, dtype=jnp.bfloat16,
+                               use_flash="never")
+    out = jax.jit(
+        lambda a, b, c: multi_head_attention(a, b, c, 2, dtype=jnp.bfloat16,
+                                             use_flash="auto")
+    )(q, k, v)
+    # same einsum code; staging inside the cond branch changes fusion
+    # context -> 1-ulp bf16 rounding on <1% of elements
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=1e-2, rtol=1e-2)
+
+
+def test_platform_routing_differentiable():
+    """Gradients flow through the platform_dependent routing (train path
+    safety — cond branches with a custom_vjp inside)."""
+    q, k, v = _qkv(b=1, t=1024, d=64)
+
+    def loss(q, k, v):
+        o = multi_head_attention(q, k, v, 1, dtype=jnp.bfloat16,
+                                 use_flash="auto").astype(jnp.float32)
+        return jnp.sum(o * o)
+
+    g_auto = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda a, b, c: jnp.sum(
+            multi_head_attention(a, b, c, 1, dtype=jnp.bfloat16,
+                                 use_flash="never").astype(jnp.float32) ** 2)
+    , argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_auto, g_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=5e-2, rtol=5e-2)
 
 
 def test_vit_block_equivalence_through_kernel():
