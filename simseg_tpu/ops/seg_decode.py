@@ -37,6 +37,7 @@ def make_seg_decode_fn(
     bilateral_stride: int = 8,
     morphology_ksize: int = 7,
     crf_backend: str = "auto",
+    compute_dtype: str = "auto",
 ):
     """Build the jitted decode fn.
 
@@ -95,13 +96,14 @@ def make_seg_decode_fn(
             probs, raw_images, num_iters=crf_iters,
             bilateral_stride=bilateral_stride,
             bilateral_impl=crf_backend,
+            compute_dtype=compute_dtype,
         )                                                      # (B, K, H, W)
 
         # 5. morphology + score weighting + argmax (:156-177). Fine-grid
         # tensors ride the CRF's compute dtype (bf16 on TPU — masks are 0/1
         # so the separable min/max closing is exact; the score weighting
         # decision is a strict ordering of a handful of scores, done in f32)
-        cdt = _resolve_compute_dtype("auto")
+        cdt = _resolve_compute_dtype(compute_dtype)
         masks = closing(masks.astype(cdt), morphology_ksize)
         weights = jnp.where(
             valid[:, :, None, None],

@@ -147,6 +147,10 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
     # 288px (boundary pixels only)
     cfg.seg_eval.bilateral_stride = 8
     cfg.seg_eval.crf_backend = "auto"
+    # CRF/morphology fine-grid compute dtype: 'auto' = bf16 on accelerators,
+    # f32 on CPU; set 'bfloat16' explicitly to exercise the production TPU
+    # numerics on a CPU host (the production-parity harness does)
+    cfg.seg_eval.crf_dtype = "auto"
     # sliding-window dense inference over a larger resize: windows of
     # ``size`` px at ``stride`` px; -1 disables (whole-image forward)
     cfg.seg_eval.window = AttrDict(size=-1, stride=-1)

@@ -41,7 +41,7 @@ def load_label_bank(name: str, data_root: str = "data") -> List[str]:
 
 
 def zero_shot_classifier(model, params, classnames: Sequence[str], tokenizer,
-                         max_length: int = 25, prompt_chunk: int = 80) -> np.ndarray:
+                         max_length: int = 25) -> np.ndarray:
     """(C, D) L2-normalized class embeddings (parity: :57-75).
 
     params must be an explicit jit argument — closing over them would bake
@@ -117,6 +117,7 @@ def make_seg_predict(model, cfg, num_classes: int, top_cls_num: int,
         candidate_classes=5,
         bilateral_stride=seg_cfg.get("bilateral_stride", 8),
         crf_backend=seg_cfg.get("crf_backend", "auto"),
+        compute_dtype=seg_cfg.get("crf_dtype", "auto"),
     )
     base_grid = input_size // patch_size
 
@@ -222,13 +223,18 @@ def make_seg_predict(model, cfg, num_classes: int, top_cls_num: int,
 
 
 def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
-                     canvas: int, patch_size: int = 16, mesh=None):
+                     canvas: int, patch_size: int = 16, mesh=None,
+                     return_pred: bool = False):
     """One jitted fn: images -> (intersection, union) histograms
     (``make_seg_predict`` + per-image mIoU confusion accumulation).
 
     mesh: shard the batch dim over the mesh's data axes — on a multi-chip
     host one jit spans all chips and the per-class histograms come back
-    replicated (XLA inserts the cross-chip reduction for the batch sum)."""
+    replicated (XLA inserts the cross-chip reduction for the batch sum).
+
+    return_pred: additionally return the per-image GT-canvas class maps
+    (B, canvas, canvas) — used by the production-parity harness
+    (tools/seg_parity.py), which compares pixel-level predictions."""
     predict = make_seg_predict(model, cfg, num_classes, top_cls_num,
                                patch_size)
 
@@ -240,9 +246,13 @@ def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
         def one(pred_i, label_i, h, w):
             resized = resize_nearest_to_padded(pred_i, h, w, canvas, canvas,
                                                fill=0)
-            return intersect_and_union(resized, label_i, num_classes, 255)
+            inter, union, _, _ = intersect_and_union(resized, label_i,
+                                                     num_classes, 255)
+            return resized, inter, union
 
-        inter, union, _, _ = jax.vmap(one)(pred, labels_padded, gt_h, gt_w)
+        resized, inter, union = jax.vmap(one)(pred, labels_padded, gt_h, gt_w)
+        if return_pred:
+            return jnp.sum(inter, axis=0), jnp.sum(union, axis=0), resized
         return jnp.sum(inter, axis=0), jnp.sum(union, axis=0)
 
     if mesh is not None:
@@ -253,7 +263,7 @@ def make_seg_forward(model, cfg, num_classes: int, top_cls_num: int,
         return jax.jit(
             forward,
             in_shardings=(repl, data, repl, data, data, data),
-            out_shardings=(repl, repl),
+            out_shardings=(repl, repl, data) if return_pred else (repl, repl),
         )
     return jax.jit(forward)
 
@@ -267,6 +277,20 @@ def evaluate_benchmark(loader, model, params, cfg, tokenizer,
     compiled batch divides the mesh's data shards, else single-device."""
     num_classes = len(seg_categories)
     canvas = GT_CANVAS.get(dataset_name, 640)
+    dataset = getattr(loader, "dataset", None)
+    if dataset is not None and hasattr(dataset, "max_label_size"):
+        # pre-scan GT sizes (PNG headers only) and auto-raise the canvas so
+        # an oversized label grows the compiled shape up front instead of
+        # raising mid-dataset after minutes of eval
+        mh, mw = dataset.max_label_size()
+        need = max(mh, mw)
+        if need > canvas:
+            new_canvas = int(-(-need // 64) * 64)  # round up to 64
+            logger.warning(
+                f"{dataset_name} GT labels reach {need}px > the {canvas}px "
+                f"canvas; raising the padded canvas to {new_canvas}px"
+            )
+            canvas = new_canvas
     logger.info(f"Building zero-shot classifier for {num_classes} classes")
     text_bank = zero_shot_classifier(model, params, seg_categories, tokenizer,
                                      max_length=cfg.model.max_length)
@@ -314,6 +338,17 @@ def evaluate_benchmark(loader, model, params, cfg, tokenizer,
         total_i += np.asarray(inter, np.float64)
         total_u += np.asarray(union, np.float64)
         count += b
+
+    if jax.process_count() > 1:
+        # per-process loader shards (build_seg_valid_loader): sum the
+        # histograms across processes so every process reports the full-set
+        # mIoU (the reference's eval-hook all_gather,
+        # tasks/clip/hooks/eval.py:32-39)
+        from simseg_tpu.parallel.collectives import process_allgather
+
+        total_i = np.sum(process_allgather(total_i), axis=0)
+        total_u = np.sum(process_allgather(total_u), axis=0)
+        count = int(np.sum(process_allgather(np.asarray([count]))))
 
     iou, miou = miou_from_totals(total_i, total_u)
     print(f"---------------- {count} samples evaluated. ----------------")

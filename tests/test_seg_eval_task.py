@@ -136,6 +136,60 @@ def test_evaluate_benchmark_runs(voc_fixture):
     assert miou == pytest.approx(miou4, rel=1e-6)
 
 
+def test_oversized_gt_label_raises_canvas(tmp_path):
+    """A GT label larger than the dataset's declared canvas auto-raises the
+    padded canvas at loader scan time (PNG headers) instead of crashing
+    mid-eval."""
+    root = tmp_path / "VOCdevkit" / "VOC2012"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = []
+    # second label exceeds the 512px pascal_voc canvas
+    for i, (h, w) in enumerate([(45, 55), (40, 600)]):
+        n = f"2007_{i:06d}"
+        names.append(n)
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(
+            root / "JPEGImages" / f"{n}.jpg"
+        )
+        label = rng.integers(0, 4, (h, w)).astype(np.uint8)
+        Image.fromarray(label).save(root / "SegmentationClass" / f"{n}.png")
+    (root / "ImageSets" / "Segmentation" / "val.txt").write_text("\n".join(names))
+
+    cfg = update_cfg(task_cfg_init_fn, None, argv=[
+        f"data.data_path={tmp_path}/",
+        "data.batch_size_val=1",
+        "data.num_workers=1",
+        "model.max_length=12",
+        "transforms.input_size=32",
+        "transforms.resize.size=32",
+        "transforms.valid_transforms=[resize]",
+    ], target=new_base_cfg())
+
+    tok = WordPieceTokenizer(make_test_vocab(
+        ["a", "photo", "of", "the", "background", "dog", "cat", "bird"]
+    ))
+    model = tiny_clip()
+    import jax.numpy as jnp
+
+    dummy = {
+        "image": jnp.zeros((1, 32, 32, 3)),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), dummy)
+    loader = build_seg_valid_loader(cfg, "pascal_voc")
+    assert loader.dataset.max_label_size() == (45, 600)
+    iou, miou = evaluate_benchmark(
+        loader, model, params, cfg,
+        tok, ["background", "dog", "cat", "bird"], top_cls_num=3,
+        dataset_name="pascal_voc",
+    )
+    assert iou.shape == (4,)
+    assert 0.0 <= miou <= 1.0
+
+
 def test_label_banks_present():
     for name, expect in [("pascal_voc", 21), ("pascal_context", 60),
                          ("coco_stuff", 81)]:

@@ -1,0 +1,652 @@
+"""Production-settings zero-shot segmentation parity harness.
+
+Measures, at the REAL eval configuration (ViT-S/16 towers at 288 px, bf16
+tower + CRF numerics, stride-8 bilateral CRF, 7x7 morphology, nearest GT
+resize), the total end-to-end disagreement between:
+
+- this framework's fused on-device pipeline (``tasks/seg_eval.py``, the same
+  code path ``tools/seg_evaluation.py`` runs), and
+- an independent torch + numpy + cv2 re-derivation of the PyTorch
+  reference's eval loop (reference ``tools/seg_evaluation.py:78-181``) with
+  an *exact* mean-field dense CRF (no lattice/stride approximation).
+
+The reference CRF (pydensecrf) is itself a permutohedral-lattice
+approximation of exact mean-field; comparing against the exact solution is
+the stricter test. Exact dense CRF is O(N^2) in general — intractable at
+288 px — but for palette-limited images the bilateral message factorizes
+over the palette: for pixel i with color c_i,
+
+    m(i) = sum_j exp(-|p_i-p_j|^2/2sxy^2) exp(-|c_i-c_j|^2/2srgb^2) x(j)
+         = sum_v exp(-|c_i-c_v|^2/2srgb^2) * [G_sxy * (x * 1{c=v})](p_i)
+
+i.e. one exact full-extent spatial Gaussian convolution (FFT) per palette
+color. The harness therefore evaluates on synthetic photo-like scenes
+quantized to a small palette (dithered region shading keeps the bilateral
+term non-trivial), where the exact reference is computable in
+O(K * N log N). ``exact_dense_crf_palette`` is validated bit-for-bit
+against the brute-force O(N^2) mean-field in
+``tests/test_seg_parity_production.py``.
+
+Reported metrics (JSON on stdout):
+- pixel_disagreement: fraction of valid (non-255) GT pixels where the two
+  pipelines' final class maps differ
+- candidate_set_flips: images whose shortlisted candidate classes differ
+  (discrete selection is threshold-gated; flips blow up pixel metrics and
+  are reported separately)
+- per-class IoU for both sides, max |delta| and mIoU delta
+
+Usage:
+    python tools/seg_parity.py [--images 8] [--classes 8] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --------------------------------------------------------------------------
+# Exact dense CRF for palette-limited images (numpy, FFT)
+# --------------------------------------------------------------------------
+
+
+def _full_gaussian_fft(h: int, w: int, sigma: float, fh: int, fw: int):
+    """rfft2 of the full-extent (untruncated) 2-D Gaussian kernel
+    exp(-0.5 d^2 / sigma^2) over all offsets (+-(h-1), +-(w-1)), zero-padded
+    to (fh, fw) and rolled so the kernel center sits at the origin."""
+    dy = np.arange(-(h - 1), h, dtype=np.float64)
+    dx = np.arange(-(w - 1), w, dtype=np.float64)
+    k = np.exp(-0.5 * (dy[:, None] ** 2 + dx[None, :] ** 2) / sigma**2)
+    pad = np.zeros((fh, fw), np.float64)
+    pad[: 2 * h - 1, : 2 * w - 1] = k
+    pad = np.roll(pad, (-(h - 1), -(w - 1)), axis=(0, 1))
+    return np.fft.rfft2(pad)
+
+
+class _FFTConv:
+    """'Same'-extent linear convolution with a full-extent Gaussian via
+    zero-padded FFT — exact (to f64 roundoff) equivalent of the brute-force
+    kernel-matrix product with exp(-0.5 |p_i - p_j|^2 / sigma^2)."""
+
+    def __init__(self, h: int, w: int, sigma: float):
+        # linear conv of (h, w) with (2h-1, 2w-1) kernel needs >= 3h-2
+        from scipy.fft import next_fast_len
+
+        self.h, self.w = h, w
+        self.fh = next_fast_len(3 * h - 2)
+        self.fw = next_fast_len(3 * w - 2)
+        self.kfft = _full_gaussian_fft(h, w, sigma, self.fh, self.fw)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        """x: (..., h, w) -> (..., h, w)."""
+        lead = x.shape[:-2]
+        xp = np.zeros(lead + (self.fh, self.fw), np.float64)
+        xp[..., : self.h, : self.w] = x
+        y = np.fft.irfft2(np.fft.rfft2(xp) * self.kfft, s=(self.fh, self.fw))
+        return y[..., : self.h, : self.w]
+
+
+def exact_dense_crf_palette(
+    probs: np.ndarray,
+    rgb: np.ndarray,
+    iters: int = 3,
+    g_sxy: float = 3.0,
+    g_compat: float = 3.0,
+    b_sxy: float = 40.0,
+    b_srgb: float = 13.0,
+    b_compat: float = 10.0,
+    color_chunk: int = 8,
+    _shared=None,
+) -> np.ndarray:
+    """Exact 2-label mean-field dense CRF (Kraehenbuehl, symmetric kernel
+    normalization, self-interaction included — the same math as the
+    brute-force ``np_dense_crf`` in tests/test_crf_morphology.py) computed
+    in O(K N log N) for a K-color palette image.
+
+    probs: (H, W) foreground probability; rgb: (H, W, 3) uint8/float 0..255.
+    Returns (H, W) int argmax mask.
+
+    _shared: optional per-image state from :func:`crf_image_state` — the
+    palette decomposition and kernel normalizations are class-independent,
+    so callers refining several candidate classes of one image build it once.
+    """
+    h, w = probs.shape
+    st = _shared if _shared is not None else crf_image_state(
+        rgb, g_sxy=g_sxy, b_sxy=b_sxy, b_srgb=b_srgb, color_chunk=color_chunk,
+        shape=(h, w),
+    )
+
+    p = probs.astype(np.float64)
+    u = -np.log(np.stack([1.0 - p, p], 0) + 1e-8)  # (2, H, W)
+
+    def softmax2(x):
+        e = np.exp(x - x.max(0, keepdims=True))
+        return e / e.sum(0, keepdims=True)
+
+    q = softmax2(-u)
+    for _ in range(iters):
+        # 2-channel messages from the channel-0 convolution only:
+        # q1 = 1 - q0, and the kernels are linear, so
+        #   m1 = n * (K(n * 1) - K(n * q0)) = n * K(n) - m0'
+        # where n * K(n) is the class-independent degree term cached in st.
+        mg0 = st["ng"] * st["gconv"](st["ng"] * q[0])
+        mb0 = st["nb"] * st["bilateral"](st["nb"] * q[0])
+        m0 = g_compat * mg0 + b_compat * mb0
+        m1 = (g_compat * st["g_total"] + b_compat * st["b_total"]) - m0
+        q = softmax2(-u + np.stack([m0, m1], 0))
+    return np.argmax(q, 0)
+
+
+def crf_image_state(rgb: np.ndarray, g_sxy: float = 3.0, b_sxy: float = 40.0,
+                    b_srgb: float = 13.0, color_chunk: int = 8,
+                    shape=None) -> dict:
+    """Class-independent exact-CRF state for one palette image: palette
+    decomposition, FFT kernels, symmetric normalizations, and the
+    n*K(n) degree fields used by the two-channel identity."""
+    h, w = shape if shape is not None else rgb.shape[:2]
+    flat = rgb.reshape(-1, 3).astype(np.float64)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    kcol = len(colors)
+    inv = inv.reshape(h, w)
+    # color-kernel weights between palette entries
+    cdist = ((colors[:, None, :] - colors[None, :, :]) ** 2).sum(-1)
+    wc = np.exp(-0.5 * cdist / b_srgb**2)  # (K, K)
+
+    gconv = _FFTConv(h, w, g_sxy)
+    bconv = _FFTConv(h, w, b_sxy)
+    onehot = np.stack([inv == v for v in range(kcol)]).astype(np.float64)
+
+    def bilateral(x: np.ndarray) -> np.ndarray:
+        """x: (h, w) -> exact bilateral-kernel product (h, w)."""
+        out_per_color = np.empty((kcol, h, w), np.float64)
+        for s in range(0, kcol, color_chunk):
+            e = min(s + color_chunk, kcol)
+            out_per_color[s:e] = bconv(x[None] * onehot[s:e])
+        # m(i) = sum_v wc[c_i, v] * conv_v(i)
+        mixed = np.einsum("av,vhw->ahw", wc, out_per_color)
+        return np.take_along_axis(
+            mixed.reshape(kcol, -1), inv.reshape(1, -1), axis=0
+        ).reshape(h, w)
+
+    ones = np.ones((h, w), np.float64)
+    ng = 1.0 / np.sqrt(gconv(ones) + 1e-20)
+    nb = 1.0 / np.sqrt(bilateral(ones) + 1e-20)
+    return dict(
+        gconv=gconv, bilateral=bilateral, ng=ng, nb=nb,
+        g_total=ng * gconv(ng), b_total=nb * bilateral(nb),
+    )
+
+
+# --------------------------------------------------------------------------
+# Synthetic palette-limited photo-like scenes
+# --------------------------------------------------------------------------
+
+# fixed palette: per class a base color plus two dithered shades (the
+# dithering keeps the bilateral term non-trivial without growing the palette)
+_BASE_COLORS = np.array([
+    [95, 110, 100],    # background: muted green-grey
+    [200, 60, 50],     # class 1: red
+    [40, 70, 200],     # class 2: blue
+    [230, 200, 60],    # class 3: yellow
+    [60, 180, 90],     # class 4: green
+    [170, 60, 180],    # class 5: purple
+    [240, 140, 40],    # class 6: orange
+    [70, 200, 210],    # class 7: cyan
+    [150, 100, 60],    # class 8: brown
+    [220, 220, 225],   # class 9: near-white
+    [120, 140, 200],   # class 10: slate
+    [30, 30, 35],      # class 11: near-black
+], np.int32)
+_SHADE_DELTAS = np.array([0, -18, 14], np.int32)
+
+
+def class_palette(cls: int) -> np.ndarray:
+    base = _BASE_COLORS[cls % len(_BASE_COLORS)]
+    return np.clip(base[None, :] + _SHADE_DELTAS[:, None], 0, 255).astype(np.uint8)
+
+
+def render_scene(rng: np.random.Generator, size: int, gt_size, n_classes: int,
+                 max_objects: int = 4):
+    """One photo-like palette scene.
+
+    Returns (image_u8 (size, size, 3), label (gh, gw) uint8). Shapes are
+    drawn analytically in relative coordinates so the 288-px image and the
+    differently-sized GT label describe the same scene — exercising the
+    production nearest GT-resize path.
+    """
+    gh, gw = gt_size
+    n_obj = int(rng.integers(2, max_objects + 1))
+    # distinct foreground classes for this scene
+    classes = rng.choice(np.arange(1, n_classes), size=n_obj, replace=False)
+    shapes = []
+    for cls in classes:
+        cy, cx = rng.uniform(0.2, 0.8, 2)
+        ry, rx = rng.uniform(0.08, 0.28, 2)
+        ang = rng.uniform(0, np.pi)
+        shapes.append((int(cls), cy, cx, ry, rx, ang))
+
+    def paint(hh, ww, with_colors):
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        fy = (yy + 0.5) / hh
+        fx = (xx + 0.5) / ww
+        label = np.zeros((hh, ww), np.uint8)
+        for cls, cy, cx, ry, rx, ang in shapes:
+            ca, sa = np.cos(ang), np.sin(ang)
+            u = (fy - cy) * ca + (fx - cx) * sa
+            v = -(fy - cy) * sa + (fx - cx) * ca
+            label[(u / ry) ** 2 + (v / rx) ** 2 < 1.0] = cls
+        if not with_colors:
+            return label, None
+        img = np.empty((hh, ww, 3), np.uint8)
+        shade = rng.choice(len(_SHADE_DELTAS), size=(hh, ww),
+                           p=[0.7, 0.15, 0.15])
+        for cls in np.unique(label):
+            pal = class_palette(int(cls))
+            m = label == cls
+            img[m] = pal[shade[m]]
+        return label, img
+
+    _, image = paint(size, size, True)
+    label, _ = paint(gh, gw, False)
+    return image, label
+
+
+# --------------------------------------------------------------------------
+# Torch reference eval at production settings
+# --------------------------------------------------------------------------
+
+
+def torch_production_eval(tmodel, tok, batches, class_bank_texts,
+                          num_classes: int, top_cls_num: int,
+                          max_length: int = 25, image_k: int = 5,
+                          patch: int = 16, crf_kwargs=None):
+    """Faithful re-derivation of the reference eval loop (reference
+    ``tools/seg_evaluation.py:78-181``): f32 torch towers, numpy decode
+    heuristics, EXACT mean-field CRF, cv2 morphology + nearest resize.
+
+    batches: list of dicts with image (B,S,S,3) u8, mask_label, mask_h/w.
+    Returns (per-image preds at GT size, total_i, total_u, candidate sets).
+    """
+    import cv2
+    import torch
+    import torch.nn.functional as F
+
+    from simseg_tpu.utils.prompts import openai_imagenet_template
+
+    crf_kwargs = crf_kwargs or {}
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    # zero-shot classifier (:57-75)
+    bank = []
+    with torch.no_grad():
+        for cls in class_bank_texts:
+            enc = tok(openai_imagenet_template(cls), padding="max_length",
+                      truncation=True, max_length=max_length)
+            ids = torch.tensor(enc["input_ids"])
+            msk = torch.tensor(enc["attention_mask"])
+            tokens = tmodel.text_encoder.model(ids, msk)
+            from tests.torch_reference import torch_topk_pool
+
+            emb = torch_topk_pool(tmodel.text_projection.linear(tokens), 1, msk)
+            emb = F.normalize(emb, dim=-1).mean(0)
+            bank.append((emb / emb.norm()).numpy())
+    bank = np.stack(bank)
+
+    from tests.torch_reference import torch_topk_pool
+
+    top_k = min(top_cls_num, num_classes)
+    preds, cand_sets = [], []
+    total_i = np.zeros(num_classes, np.float64)
+    total_u = np.zeros(num_classes, np.float64)
+    for batch in batches:
+        for bi in range(batch["image"].shape[0]):
+            img_u8 = np.asarray(batch["image"][bi])
+            raw_h = int(batch["mask_h"][bi])
+            raw_w = int(batch["mask_w"][bi])
+            label = np.asarray(batch["mask_label"][bi])[:raw_h, :raw_w]
+            size = img_u8.shape[0]
+            grid = size // patch
+
+            x = (img_u8.astype(np.float32) / 255.0 - mean) / std
+            xt = torch.tensor(x.transpose(2, 0, 1))[None]
+            with torch.no_grad():
+                tokens = tmodel.image_encoder.model.model(xt)[:, 1:]
+                proj = tmodel.image_projection.linear(tokens)
+                pooled = F.normalize(torch_topk_pool(proj, image_k), dim=-1)
+                pooled = pooled[0].numpy()
+                dense = F.normalize(proj, dim=-1)[0].numpy()
+
+            # shortlist + threshold (:119-124; torch.std is ddof=1)
+            scores = bank @ pooled
+            order = np.argsort(-scores)[:top_k]
+            top = scores[order]
+            threshold = top.mean() + top.std(ddof=1)
+
+            state = None
+            chosen = []
+            temp_pred = np.zeros((num_classes, raw_h, raw_w))
+            for idx in order[:5]:
+                if idx in (0, 255):
+                    continue
+                if scores[idx] < threshold:
+                    break
+                chosen.append(int(idx))
+                attn = (dense @ bank[idx]).reshape(grid, grid)
+                attn = attn.repeat(patch, 0).repeat(patch, 1)
+                norm_attn = (attn - attn.min()) / (attn.max() - attn.min())
+                if state is None:
+                    state = crf_image_state(img_u8.astype(np.float64),
+                                            **crf_kwargs)
+                binary = exact_dense_crf_palette(
+                    norm_attn, img_u8.astype(np.float64), _shared=state
+                ) * 255
+                kernel = np.ones((7, 7), np.uint8)
+                m = cv2.dilate(binary.astype(np.uint8), kernel)
+                m = cv2.erode(m, kernel)
+                m = cv2.resize(m, (raw_w, raw_h),
+                               interpolation=cv2.INTER_NEAREST)
+                temp_pred[idx] = m * scores[idx]
+
+            pred = temp_pred.argmax(0)
+            preds.append(pred)
+            cand_sets.append(chosen)
+            valid = label != 255
+            for c in range(num_classes):
+                pi = (pred == c) & valid
+                li = (label == c) & valid
+                inter = np.sum(pi & li)
+                total_i[c] += inter
+                total_u[c] += pi.sum() + li.sum() - inter
+    return preds, total_i, total_u, cand_sets
+
+
+# --------------------------------------------------------------------------
+# Harness
+# --------------------------------------------------------------------------
+
+PARITY_CLASSES = [
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "dog", "horse", "person", "sheep", "train",
+][:]
+
+
+def build_fixture(root, n_images: int, n_classes: int, seed: int,
+                  size: int = 288):
+    """VOC2012-layout fixture of palette scenes + the bridged ViT-S/16
+    checkpoint. Returns (classes, vocab, ckpt_path)."""
+    import torch
+    from PIL import Image
+
+    from tests.torch_reference import TorchTinyCLIP
+
+    rng = np.random.default_rng(seed)
+    voc = os.path.join(root, "VOCdevkit", "VOC2012")
+    os.makedirs(os.path.join(voc, "JPEGImages"))
+    os.makedirs(os.path.join(voc, "SegmentationClass"))
+    os.makedirs(os.path.join(voc, "ImageSets", "Segmentation"))
+    names = []
+    for i in range(n_images):
+        gt_h = int(rng.integers(320, 512))
+        gt_w = int(rng.integers(320, 512))
+        img, label = render_scene(rng, size, (gt_h, gt_w), n_classes)
+        n = f"2007_{i:06d}"
+        names.append(n)
+        # PNG content under the .jpg name: both decode paths sniff magic
+        # bytes, and JPEG's lossy DCT would break the palette the exact
+        # CRF depends on
+        Image.fromarray(img).save(
+            os.path.join(voc, "JPEGImages", f"{n}.jpg"), format="PNG")
+        Image.fromarray(label).save(
+            os.path.join(voc, "SegmentationClass", f"{n}.png"))
+    with open(os.path.join(voc, "ImageSets", "Segmentation", "val.txt"),
+              "w") as f:
+        f.write("\n".join(names))
+
+    classes = PARITY_CLASSES[:n_classes]
+
+    # ViT-S/16 image tower (the published simseg.vit-s architecture);
+    # mid-size BERT text tower (the bank builder — bridging + naming parity
+    # for full BERT-base is covered by test_real_transformers_bridge)
+    torch.manual_seed(seed)
+    tmodel = TorchTinyCLIP(
+        proj_dim=512,
+        vit_kwargs=dict(img_size=size, patch=16, dim=384, depth=12, heads=6),
+        bert_kwargs=dict(vocab=256, dim=384, depth=6, heads=6, inter=1536,
+                         max_pos=64),
+    )
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            if p.ndim > 0:
+                p.add_(torch.randn_like(p) * 0.02)
+    ckpt = os.path.join(root, "vit_s_parity.pth")
+    torch.save({"state_dict": tmodel.state_dict()}, ckpt)
+    return classes, tmodel, ckpt
+
+
+def make_parity_cfg(root, n_images: int, size: int = 288,
+                    batch_size_val: int = 2):
+    from simseg_tpu.config import new_base_cfg, update_cfg
+    from simseg_tpu.tasks.clip.config import task_cfg_init_fn
+
+    return update_cfg(task_cfg_init_fn, None, argv=[
+        f"data.data_path={root}/",
+        f"data.batch_size_val={batch_size_val}",
+        "data.num_workers=1",
+        "model.max_length=25",
+        "model.image_encoder.tag=vit_small_patch16_224",
+        "model.text_encoder.tag=bert_parity",
+        "model.text_encoder.arch={'vocab_size':256,'hidden_dim':384,"
+        "'depth':6,'num_heads':6,'intermediate_dim':1536,'max_position':64,"
+        "'type_vocab_size':2}",
+        "model.projection.name=simple",
+        "model.projection.dim=512",
+        "model.pool.name=loda",
+        "model.pool.loda.image_k=5",
+        "model.pool.loda.text_k=1",
+        # PRODUCTION numerics: bf16 towers (configs/clip/simseg.vit-s.yaml
+        # dist.bf16) and the bf16 CRF/morphology lane the TPU eval runs
+        # (crf_dtype auto->bf16 on accelerators; forced here so the CPU
+        # harness exercises the same lane)
+        "dist.bf16=True",
+        "seg_eval.crf_dtype=bfloat16",
+        f"transforms.input_size={size}",
+        f"transforms.resize.size={size}",
+        "transforms.valid_transforms=[resize]",
+    ], target=new_base_cfg())
+
+
+def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
+               size: int = 288, root=None) -> dict:
+    """Run both pipelines on the same fixture; return the metric dict."""
+    import jax
+    import jax.numpy as jnp
+
+    import torch
+
+    from simseg_tpu.checkpoint.torch_bridge import load_clip_checkpoint
+    from simseg_tpu.data.datasets import build_seg_valid_loader
+    from simseg_tpu.data.tokenizer import WordPieceTokenizer, make_test_vocab
+    from simseg_tpu.models.clip import build_clip_model
+    from simseg_tpu.tasks.seg_eval import (
+        make_seg_forward,
+        zero_shot_classifier,
+    )
+    from simseg_tpu.utils.metrics import miou_from_totals
+    from simseg_tpu.utils.prompts import IMAGENET_TEMPLATES
+
+    owns_root = root is None
+    if owns_root:
+        root = tempfile.mkdtemp(prefix="seg_parity_")
+    classes, tmodel, ckpt = build_fixture(root, n_images, n_classes, seed,
+                                          size)
+    cfg = make_parity_cfg(root, n_images, size)
+
+    # shared tokenizer: specials + every word the prompt bank and class
+    # names can produce
+    import re as _re
+
+    words = set()
+    for t in IMAGENET_TEMPLATES:
+        words.update(_re.findall(r"[a-z]+", t.format("x").lower()))
+    for c in classes:
+        words.update(_re.findall(r"[a-z]+", c.lower()))
+    tok = WordPieceTokenizer(make_test_vocab(sorted(words)))
+    assert max(tok.vocab.values()) < 256, "bump bert vocab_size"
+
+    # ---- flax side (the production pipeline) ----
+    model = build_clip_model(cfg)
+    dummy = {
+        "image": jnp.zeros((1, size, size, 3), jnp.float32),
+        "input_ids": jnp.zeros((1, 25), jnp.int32),
+        "attention_mask": jnp.ones((1, 25), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), dummy)
+    params, report = load_clip_checkpoint(ckpt, params)
+    assert not report["missing"] and not report["mismatched"], report
+
+    top_cls_num = 10  # VOC setting (reference :247)
+    canvas = 512
+    text_bank = zero_shot_classifier(model, params, classes, tok,
+                                     max_length=cfg.model.max_length)
+    forward = make_seg_forward(model, cfg, len(classes), top_cls_num, canvas,
+                               patch_size=16, return_pred=True)
+
+    # host-side replica of the decode's candidate selection (the decode's
+    # own scores are an f32 einsum of the f32-cast pooled embedding and the
+    # f32 bank — identical math on the host), to report discrete
+    # candidate-set flips separately from continuous pixel disagreement
+    from simseg_tpu.data.transforms import normalize_images
+
+    nmean = tuple(cfg.transforms.normalize.mean)
+    nstd = tuple(cfg.transforms.normalize.std)
+
+    @jax.jit
+    def pooled_fn(params, images_u8):
+        images = normalize_images(images_u8, nmean, nstd)
+        tokens = model.apply(
+            params, images, method=lambda m, im: m.forward_image_tokens(im))
+        pooled = model.apply(
+            params, tokens[:, 1:],
+            method=lambda m, t: m.forward_image_project(t))
+        return pooled.astype(jnp.float32)
+
+    def candidate_set(scores):
+        top_k = min(top_cls_num, len(classes))
+        order = np.argsort(-scores)[:top_k]
+        top = scores[order]
+        threshold = top.mean() + top.std(ddof=1)
+        chosen = []
+        for idx in order[:5]:
+            if idx in (0, 255):
+                continue
+            if scores[idx] < threshold:
+                break
+            chosen.append(int(idx))
+        return chosen
+
+    loader = build_seg_valid_loader(cfg, "pascal_voc")
+    batches = []
+    total_i = np.zeros(len(classes), np.float64)
+    total_u = np.zeros(len(classes), np.float64)
+    ours_preds, ours_cands = [], []
+    palette = {tuple(c) for cls in range(n_classes)
+               for c in class_palette(cls)}
+    for batch in loader:
+        images = np.asarray(batch["image"])
+        seen = {tuple(c) for c in images.reshape(-1, 3)}
+        assert seen <= palette, (
+            f"loader output left the palette ({len(seen - palette)} new "
+            "colors) — the identity resize must be lossless")
+        labels = batch["mask_label"]
+        b = images.shape[0]
+        gt_h = np.asarray(batch.get("mask_h", [labels.shape[1]] * b), np.int32)
+        gt_w = np.asarray(batch.get("mask_w", [labels.shape[2]] * b), np.int32)
+        padded = np.full((b, canvas, canvas), 255, np.int32)
+        padded[:, : labels.shape[1], : labels.shape[2]] = labels
+        batches.append(dict(image=images, mask_label=labels,
+                            mask_h=gt_h, mask_w=gt_w))
+        inter, union, pred = forward(
+            params, jnp.asarray(images), text_bank, jnp.asarray(padded),
+            jnp.asarray(gt_h), jnp.asarray(gt_w),
+        )
+        total_i += np.asarray(inter, np.float64)
+        total_u += np.asarray(union, np.float64)
+        pred = np.asarray(pred)
+        pooled = np.asarray(pooled_fn(params, jnp.asarray(images)))
+        for bi in range(b):
+            ours_preds.append(pred[bi, : gt_h[bi], : gt_w[bi]])
+            ours_cands.append(candidate_set(pooled[bi] @ text_bank.T))
+
+    # ---- torch reference side ----
+    ref_preds, ref_i, ref_u, ref_cands = torch_production_eval(
+        tmodel, tok, batches, classes, len(classes), top_cls_num,
+        max_length=cfg.model.max_length,
+    )
+
+    flips = 0
+    disagree = 0
+    valid_total = 0
+    per_image = []
+    idx = 0
+    for batch in batches:
+        for bi in range(batch["image"].shape[0]):
+            raw_h = int(batch["mask_h"][bi])
+            raw_w = int(batch["mask_w"][bi])
+            label = np.asarray(batch["mask_label"][bi])[:raw_h, :raw_w]
+            valid = label != 255
+            ours = ours_preds[idx]
+            ref = ref_preds[idx]
+            d = int(((ours != ref) & valid).sum())
+            v = int(valid.sum())
+            disagree += d
+            valid_total += v
+            if set(ours_cands[idx]) != set(ref_cands[idx]):
+                flips += 1
+            per_image.append(dict(pixels=v, disagree=d,
+                                  ref_candidates=ref_cands[idx],
+                                  our_candidates=ours_cands[idx]))
+            idx += 1
+
+    iou_ours, miou_ours = miou_from_totals(total_i, total_u)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou_ref = ref_i / ref_u
+    miou_ref = float(np.nanmean(iou_ref))
+    both = ~(np.isnan(np.asarray(iou_ours)) | np.isnan(iou_ref))
+    iou_delta = float(np.max(np.abs(np.asarray(iou_ours)[both]
+                                    - iou_ref[both]))) if both.any() else 0.0
+
+    return dict(
+        n_images=n_images,
+        n_classes=n_classes,
+        seed=seed,
+        size=size,
+        pixel_disagreement=disagree / max(valid_total, 1),
+        candidate_set_flips=flips,
+        miou_ours=float(miou_ours),
+        miou_ref=miou_ref,
+        miou_delta=float(miou_ours - miou_ref),
+        max_class_iou_delta=iou_delta,
+        per_image=per_image,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--images", type=int, default=8)
+    ap.add_argument("--classes", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--size", type=int, default=288)
+    args = ap.parse_args()
+    out = run_parity(args.images, args.classes, args.seed, args.size)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
