@@ -243,13 +243,18 @@ def make_bsgs_train_step(
     donate: bool = True,
     shard_opt_state: bool = False,
     opt_shard_min_size: int = 2**16,
+    fsdp: bool = False,
 ):
     """Full BSGS train step (grad fn + optimizer), jitted; mirrors
-    make_train_step's contract — including the ZeRO-1 factory form
-    (shard_opt_state=True -> factory(state) -> (step_fn, placed_state)),
-    the natural pairing since BSGS exists to push the contrastive batch far
-    past per-chip memory and the replicated AdamW moments are then the next
-    thing to shard."""
+    make_train_step's contract — including the factory form
+    (factory(state) -> (step_fn, placed_state)) for ZeRO-1, tensor
+    parallelism, and FSDP. BSGS composes with sharded towers naturally:
+    the two scanned passes are ordinary pjit forwards (per-micro-batch
+    data-sharded, params TP/FSDP-sharded — XLA inserts the tower
+    collectives per micro-step), and the analytic middle section is
+    sharding-agnostic global algebra on replicated (B, D) embeddings. This
+    is the flagship big-batch x big-model combination: exact 16k-batch
+    InfoNCE gradients on a tower too large to replicate."""
     grad_fn = make_bsgs_grad_fn(model, num_micro, smoothing,
                                 group_size=group_size, mixup=mixup,
                                 mixup_alpha_param=mixup_alpha_param)
@@ -273,21 +278,21 @@ def make_bsgs_train_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    from simseg_tpu.parallel.mesh import data_sharding
+    from simseg_tpu.parallel.mesh import MODEL_AXIS, data_sharding
 
     data = data_sharding(mesh)
+    tp = MODEL_AXIS in mesh.axis_names
     # micro-batches keep the batch dim sharded: (num_micro, mb, ...) reshape
     # preserves the leading-axis layout across devices when mb is divisible
     # by the mesh size, so each scan step is a normal data-parallel forward.
-    if shard_opt_state:
-        from simseg_tpu.engine.train_step import opt_state_sharding
+    if shard_opt_state or tp or fsdp:
+        from simseg_tpu.engine.train_step import derive_state_shardings
 
         def jit_with_state(state_template):
-            sh = TrainState(
-                params=jax.tree.map(lambda _: repl, state_template.params),
-                opt_state=opt_state_sharding(state_template.opt_state, mesh,
-                                             min_size=opt_shard_min_size),
-                step=repl,
+            sh = derive_state_shardings(
+                state_template, mesh, tp=tp, fsdp=fsdp,
+                shard_opt_state=shard_opt_state,
+                opt_shard_min_size=opt_shard_min_size,
             )
             fn = jax.jit(
                 step_fn,

@@ -105,6 +105,74 @@ def opt_state_sharding(opt_state, mesh: Mesh, min_size: int = 2**16):
     return jax.tree.map(spec_of, opt_state)
 
 
+def derive_state_shardings(state_template, mesh: Mesh, tp: bool = False,
+                           fsdp: bool = False, moe_ep: bool = False,
+                           shard_opt_state: bool = False,
+                           opt_shard_min_size: int = 2**16,
+                           fsdp_min_size: int = 2**14) -> "TrainState":
+    """Per-leaf NamedShardings for a TrainState under the configured
+    parallelism mix — shared by the plain and BSGS step factories.
+
+    TP/FSDP/EP set the parameter shardings (parallel/tp.py); optimizer
+    moments mirror their parameter's sharding; ZeRO-1 (shard_opt_state)
+    additionally splits whatever moments remain replicated over the data
+    axis."""
+    repl = NamedSharding(mesh, P())
+    if tp:
+        param_sh = tp_shardings(state_template.params, mesh)
+    else:
+        param_sh = jax.tree.map(lambda _: repl, state_template.params)
+    if fsdp:
+        from simseg_tpu.parallel.tp import fsdp_shardings
+
+        param_sh = fsdp_shardings(state_template.params, mesh,
+                                  base=param_sh, min_size=fsdp_min_size)
+    if moe_ep:
+        from simseg_tpu.parallel.tp import ep_shardings
+
+        param_sh = ep_shardings(state_template.params, mesh, base=param_sh)
+    if tp or fsdp or moe_ep:
+        # optimizer moments mirror the parameter shardings. GSPMD
+        # cannot infer this (zeros_like moments are value-independent
+        # of the params), so match structurally: optax moment leaves
+        # live at paths ending with their param's path (e.g.
+        # 0/trace/params/.../qkv/kernel), shape-checked for safety.
+        def path_str(path):
+            return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                            for k in path)
+
+        by_path = {}
+        flat_p, _ = jax.tree_util.tree_flatten_with_path(
+            state_template.params)
+        flat_s = jax.tree.leaves(param_sh)
+        for (path, leaf), sh in zip(flat_p, flat_s):
+            by_path["/" + path_str(path)] = (getattr(leaf, "shape", ()), sh)
+
+        def opt_spec(path, leaf):
+            p = "/" + path_str(path)
+            shape = getattr(leaf, "shape", ())
+            for pp, (pshape, sh) in by_path.items():
+                if p.endswith(pp) and shape == pshape:
+                    return sh
+            return repl
+
+        opt_sh = jax.tree_util.tree_map_with_path(
+            opt_spec, state_template.opt_state)
+    else:
+        opt_sh = jax.tree.map(lambda _: repl, state_template.opt_state)
+    if shard_opt_state:
+        # ZeRO-1 over the data axis, applied to the leaves the TP
+        # rules left replicated (TP-sharded moments are already
+        # memory-split over 'model')
+        zero_sh = opt_state_sharding(state_template.opt_state, mesh,
+                                     min_size=opt_shard_min_size)
+        opt_sh = jax.tree.map(
+            lambda cur, z: z if cur.is_fully_replicated else cur,
+            opt_sh, zero_sh,
+        )
+    return TrainState(params=param_sh, opt_state=opt_sh, step=repl)
+
+
 def clip_loss_fn(
     model,
     params,
@@ -309,61 +377,12 @@ def make_train_step(
         # factory form: the caller passes the concrete TrainState once so the
         # per-leaf optimizer shardings can be derived from its structure
         def jit_with_state(state_template):
-            if tp:
-                param_sh = tp_shardings(state_template.params, mesh)
-            else:
-                param_sh = jax.tree.map(lambda _: repl, state_template.params)
-            if fsdp:
-                from simseg_tpu.parallel.tp import fsdp_shardings
-
-                param_sh = fsdp_shardings(state_template.params, mesh,
-                                          base=param_sh,
-                                          min_size=fsdp_min_size)
-            if moe_ep:
-                from simseg_tpu.parallel.tp import ep_shardings
-
-                param_sh = ep_shardings(state_template.params, mesh,
-                                        base=param_sh)
-            if tp or fsdp or moe_ep:
-                # optimizer moments mirror the parameter shardings. GSPMD
-                # cannot infer this (zeros_like moments are value-independent
-                # of the params), so match structurally: optax moment leaves
-                # live at paths ending with their param's path (e.g.
-                # 0/trace/params/.../qkv/kernel), shape-checked for safety.
-                def path_str(path):
-                    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
-                                    for k in path)
-
-                by_path = {}
-                flat_p, _ = jax.tree_util.tree_flatten_with_path(
-                    state_template.params)
-                flat_s = jax.tree.leaves(param_sh)
-                for (path, leaf), sh in zip(flat_p, flat_s):
-                    by_path["/" + path_str(path)] = (getattr(leaf, "shape", ()), sh)
-
-                def opt_spec(path, leaf):
-                    p = "/" + path_str(path)
-                    shape = getattr(leaf, "shape", ())
-                    for pp, (pshape, sh) in by_path.items():
-                        if p.endswith(pp) and shape == pshape:
-                            return sh
-                    return repl
-
-                opt_sh = jax.tree_util.tree_map_with_path(
-                    opt_spec, state_template.opt_state)
-            else:
-                opt_sh = jax.tree.map(lambda _: repl, state_template.opt_state)
-            if shard_opt_state:
-                # ZeRO-1 over the data axis, applied to the leaves the TP
-                # rules left replicated (TP-sharded moments are already
-                # memory-split over 'model')
-                zero_sh = opt_state_sharding(state_template.opt_state, mesh,
-                                             min_size=opt_shard_min_size)
-                opt_sh = jax.tree.map(
-                    lambda cur, z: z if cur.is_fully_replicated else cur,
-                    opt_sh, zero_sh,
-                )
-            sh = TrainState(params=param_sh, opt_state=opt_sh, step=repl)
+            sh = derive_state_shardings(
+                state_template, mesh, tp=tp, fsdp=fsdp, moe_ep=moe_ep,
+                shard_opt_state=shard_opt_state,
+                opt_shard_min_size=opt_shard_min_size,
+                fsdp_min_size=fsdp_min_size,
+            )
             fn = jax.jit(
                 step_fn,
                 in_shardings=(sh, data, repl, repl),
