@@ -263,6 +263,18 @@ class PreemptionHook(Hook):
         raise SystemExit(0)
 
 
+def _local_rows(arr) -> np.ndarray:
+    """Host rows of a batch-sharded eval output. Multi-process meshes leave
+    the array only partially addressable — the local shards are exactly this
+    process's loader rows (the per-process eval shard), in batch order; the
+    cross-process gather happens later on numpy (process_allgather)."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+    return np.asarray(jax.device_get(arr))
+
+
 class RetrievalEvalHook(Hook):
     """Collect per-step embeddings; epoch end: R@1/5/10 + RSUM
     (parity: tasks/clip/hooks/eval.py:9-99; the all-gather of the reference
@@ -273,8 +285,8 @@ class RetrievalEvalHook(Hook):
 
     def after_val_step(self, runner) -> None:
         out = runner.outputs
-        self._img.append(np.asarray(jax.device_get(out["image_emb"])))
-        self._txt.append(np.asarray(jax.device_get(out["text_emb"])))
+        self._img.append(_local_rows(out["image_emb"]))
+        self._txt.append(_local_rows(out["text_emb"]))
         if out.get("image_id") is not None:
             self._iid.append(np.asarray(out["image_id"]))
             self._cid.append(np.asarray(out["caption_id"]))

@@ -55,6 +55,8 @@ class CsvPairDataset:
         self.tokenizer = tokenizer
         self.transforms = transforms
         self.max_length = cfg.model.max_length
+        self.seed = int(cfg.get("seed", 0) or 0)
+        self.epoch = 0
         import pandas as pd
 
         split = "train" if mode == "train" else "valid"
@@ -68,10 +70,19 @@ class CsvPairDataset:
     def __len__(self) -> int:
         return len(self.captions)
 
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
     def __getitem__(self, index: int) -> Dict[str, Any]:
         caption = self.captions[index]
         if self.mode == "train":
-            caption = process_caption(self.tokenizer, caption)
+            # per-(seed, epoch, sample) stream: the corruption is
+            # deterministic and thread-safe, so a resumed run replays the
+            # exact batches an uninterrupted run would see (the reference's
+            # global-`random` draws are ordering- and thread-dependent)
+            rng = random.Random(
+                (self.seed * 1_000_003 + self.epoch) * 1_000_003 + index)
+            caption = process_caption(self.tokenizer, caption, rng=rng)
         enc = self.tokenizer(caption, padding="max_length", truncation=True,
                              max_length=self.max_length)
         path = os.path.join(self.image_base, self.images[index])
@@ -153,13 +164,25 @@ class SegDataset:
     def __len__(self) -> int:
         return len(self.names)
 
+    def _label_file(self, item: str) -> str:
+        label_name = item + ("_labelTrainIds" if self.name == "coco_stuff" else "")
+        return os.path.join(self.label_path, label_name + ".png")
+
+    def max_label_size(self) -> tuple:
+        """(max_h, max_w) over all GT label maps, from the PNG headers only
+        (no pixel decode) — lets the eval size its padded GT canvas up front
+        instead of crashing mid-dataset on an oversized label."""
+        mh = mw = 0
+        for item in self.names:
+            with Image.open(self._label_file(item)) as im:
+                w, h = im.size
+            mh, mw = max(mh, h), max(mw, w)
+        return mh, mw
+
     def __getitem__(self, index: int) -> Dict[str, Any]:
         item = self.names[index]
         img = Image.open(os.path.join(self.image_path, item + ".jpg")).convert("RGB")
-        label_name = item + ("_labelTrainIds" if self.name == "coco_stuff" else "")
-        label = np.asarray(
-            Image.open(os.path.join(self.label_path, label_name + ".png"))
-        )
+        label = np.asarray(Image.open(self._label_file(item)))
         return {"image": self.transforms(img), "mask_label": label.astype(np.int32)}
 
 
@@ -232,6 +255,7 @@ class DataLoader:
         seed: int = 0,
         shard_index: int = 0,
         shard_count: int = 1,
+        pad_shards: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -243,15 +267,29 @@ class DataLoader:
         self.epoch = 0
         self.shard_index = shard_index
         self.shard_count = shard_count
+        self.pad_shards = pad_shards
 
     def set_epoch(self, epoch: int) -> None:
-        """parity: DistributedSampler.set_epoch (core/hooks/dist.py:64-67)."""
+        """parity: DistributedSampler.set_epoch (core/hooks/dist.py:64-67);
+        forwarded to the dataset so per-sample augmentation streams (caption
+        corruption) key on the epoch too."""
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> List[int]:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(idx)
+        if self.shard_count > 1 and self.pad_shards and idx:
+            # wrap-pad so every shard has the same length (torch
+            # DistributedSampler semantics): the runner's step/eval fns are
+            # collective over the global mesh, so every process must produce
+            # the same number of same-sized batches or the pod deadlocks
+            # mid-epoch. The standalone eval tools keep exact shards
+            # (independent per-process jits; they gather at the end).
+            total = -(-len(idx) // self.shard_count) * self.shard_count
+            idx = (idx * self.shard_count)[:total]
         return idx[self.shard_index::self.shard_count]
 
     def __len__(self) -> int:
@@ -301,6 +339,11 @@ class ConcatDataset:
     def __init__(self, datasets: Sequence):
         self.datasets = list(datasets)
         self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def set_epoch(self, epoch: int) -> None:
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
 
     def __len__(self) -> int:
         return int(self.offsets[-1])
@@ -367,14 +410,16 @@ def build_clip_dataloaders(cfg, tokenizer=None) -> Dict[str, Any]:
         ds = ConcatDataset([make_train(n) for n in cfg.data.train_name])
         train = [DataLoader(ds, bs, shuffle=True, drop_last=True,
                             num_workers=cfg.data.num_workers,
-                            shard_index=shard, shard_count=nshards)]
+                            shard_index=shard, shard_count=nshards,
+                            pad_shards=True)]
         train_datasets = None
     elif cfg.data.train_type in ("sequential", "debias"):
         train_datasets = [make_train(n) for n in cfg.data.train_name]
         train = [
             DataLoader(d, bs, shuffle=True, drop_last=True,
                        num_workers=cfg.data.num_workers,
-                       shard_index=shard, shard_count=nshards)
+                       shard_index=shard, shard_count=nshards,
+                       pad_shards=True)
             for d in train_datasets
         ]
     else:
@@ -389,16 +434,23 @@ def build_clip_dataloaders(cfg, tokenizer=None) -> Dict[str, Any]:
                 ds = CsvPairDataset(cfg, name, tokenizer, valid_tf, "valid")
             val.append(
                 DataLoader(ds, bs_val, num_workers=cfg.data.num_workers,
-                           shard_index=shard, shard_count=nshards)
+                           shard_index=shard, shard_count=nshards,
+                           pad_shards=True)
             )
     return dict(train=train, train_dataset=train_datasets, val=val)
 
 
 def build_seg_valid_loader(cfg, name: str) -> DataLoader:
-    """parity: seg_dataset.py:67-81 (batch_size_val, typically 1)."""
+    """parity: seg_dataset.py:67-81 (batch_size_val, typically 1). On a
+    multi-process run each process evaluates a strided shard of the set;
+    the eval sums the per-class histograms across processes
+    (tasks/seg_eval.py) — the reference's DistributedSampler + eval-hook
+    gather (tasks/clip/hooks/eval.py:32-39)."""
+    shard, nshards = _process_shard()
     tf = build_transforms(cfg, "valid")
     return DataLoader(SegDataset(cfg, name, tf), cfg.data.batch_size_val,
-                      num_workers=cfg.data.num_workers)
+                      num_workers=cfg.data.num_workers,
+                      shard_index=shard, shard_count=nshards)
 
 
 @DATALOADER.register(name="seg")
@@ -419,8 +471,10 @@ def build_imagenet_dataloaders(cfg) -> Dict[str, Any]:
     val_ds = ImageFolderDataset(os.path.join(root, "val"), valid_tf)
     train = DataLoader(train_ds, cfg.data.batch_size // nshards, shuffle=True,
                        drop_last=True, num_workers=cfg.data.num_workers,
-                       shard_index=shard, shard_count=nshards)
+                       shard_index=shard, shard_count=nshards,
+                       pad_shards=True)
     val = DataLoader(val_ds, cfg.data.batch_size_val // nshards,
                      num_workers=cfg.data.num_workers,
-                     shard_index=shard, shard_count=nshards)
+                     shard_index=shard, shard_count=nshards,
+                     pad_shards=True)
     return dict(train=[train], train_dataset=None, val=[val])

@@ -69,9 +69,21 @@ def barrier(name: str = "barrier") -> None:
 
 def process_allgather(x: np.ndarray) -> np.ndarray:
     """Gather per-process host arrays to all processes (eval embedding
-    collection on pods; parity: dist.py all_gather used by eval hooks)."""
+    collection on pods; parity: dist.py all_gather used by eval hooks).
+
+    64-bit dtypes survive bit-exactly: with jax_enable_x64 off,
+    multihost_utils would silently downcast f64/i64 to 32-bit — for mIoU
+    histograms that both loses integer exactness past 2^24 pixels and
+    drops the later divisions to f32 — so the raw 64-bit words ride the
+    gather as uint32 pairs instead."""
+    x = np.asarray(x)
     if jax.process_count() == 1:
-        return np.asarray(x)
+        return x
     from jax.experimental import multihost_utils
 
+    if x.dtype.itemsize == 8:
+        raw = np.ascontiguousarray(x).reshape(-1).view(np.uint32)
+        g = np.asarray(multihost_utils.process_allgather(raw))
+        assert g.dtype == np.uint32, g.dtype
+        return g.view(x.dtype).reshape((jax.process_count(),) + x.shape)
     return np.asarray(multihost_utils.process_allgather(x))

@@ -141,35 +141,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host pytree batch onto the mesh, batch-dim sharded."""
+    """Place a host pytree batch onto the mesh, batch-dim sharded.
+
+    On a multi-process mesh the host batch is this process's shard (the
+    loaders feed per-process slices, datasets.py _process_shard); the
+    global array is assembled from the local blocks without any data
+    movement between hosts. Single-process keeps the plain device_put
+    (accepts device arrays as well as numpy)."""
     sharding = data_sharding(mesh)
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.flat):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-
-
-def device_prefetch(iterator, mesh: Mesh, size: int = 2):
-    """Wrap a host batch iterator so the next ``size`` batches are already
-    transferred to the mesh while the current step runs (the TPU-native
-    replacement for torch pinned-memory + non_blocking H2D copies,
-    reference clip_runner.py:65-77 input_preprocess)."""
-    import collections
-
-    queue = collections.deque()
-
-    def put(batch):
-        queue.append(shard_batch(batch, mesh))
-
-    it = iter(iterator)
-    try:
-        for _ in range(size):
-            put(next(it))
-    except StopIteration:
-        pass
-    while queue:
-        try:
-            put(next(it))
-        except StopIteration:
-            pass
-        yield queue.popleft()
 
 
 def eval_mesh(mesh: Optional[Mesh], loader_batch) -> Optional[Mesh]:

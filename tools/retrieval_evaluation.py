@@ -88,10 +88,37 @@ def evaluate_benchmark(loader, model, params, cfg, mesh=None) -> dict:
         iids.append(np.asarray(batch["image_id"]))
         cids.append(np.asarray(batch["caption_id"]))
 
-    summary = retrieval_summary(
-        np.concatenate(imgs), np.concatenate(txts),
-        np.concatenate(iids), np.concatenate(cids),
-    )
+    img_all = np.concatenate(imgs)
+    txt_all = np.concatenate(txts)
+    iid_all = np.concatenate(iids)
+    cid_all = np.concatenate(cids)
+    if jax.process_count() > 1:
+        # per-process loader shards: gather every process's embeddings so
+        # each reports the full-set RSUM (reference eval-hook all_gather,
+        # tasks/clip/hooks/eval.py:32-39). Shard sizes can differ by one
+        # batch — pad to the global max with id -1 rows and drop them after
+        # (the reference's padding-row convention, eval.py:32-33).
+        from simseg_tpu.parallel.collectives import process_allgather
+
+        n = img_all.shape[0]
+        n_max = int(process_allgather(np.asarray([n])).max())
+        if n_max > n:
+            pad = n_max - n
+            img_all = np.concatenate(
+                [img_all, np.zeros((pad, img_all.shape[1]), img_all.dtype)])
+            txt_all = np.concatenate(
+                [txt_all, np.zeros((pad, txt_all.shape[1]), txt_all.dtype)])
+            iid_all = np.concatenate([iid_all, np.full(pad, -1, iid_all.dtype)])
+            cid_all = np.concatenate([cid_all, np.full(pad, -1, cid_all.dtype)])
+        img_all = process_allgather(img_all).reshape(-1, img_all.shape[-1])
+        txt_all = process_allgather(txt_all).reshape(-1, txt_all.shape[-1])
+        iid_all = process_allgather(iid_all).reshape(-1)
+        cid_all = process_allgather(cid_all).reshape(-1)
+        keep = iid_all >= 0
+        img_all, txt_all = img_all[keep], txt_all[keep]
+        iid_all, cid_all = iid_all[keep], cid_all[keep]
+
+    summary = retrieval_summary(img_all, txt_all, iid_all, cid_all)
     pretty = " ".join(f"{k}: {v:.4f}" for k, v in summary.items())
     logger.emph(pretty)
     return summary
@@ -125,12 +152,16 @@ def main():
 
     tokenizer = build_tokenizer(cfg.model.text_encoder.tag,
                                 vocab_file=args.vocab_file or None)
+    from simseg_tpu.data.datasets import _process_shard
+
+    shard, nshards = _process_shard()
     tf = build_transforms(cfg, "valid")
     for name in cfg.data.valid_name:
         logger.info(f"Evaluating retrieval on {name}")
         ds = ParquetRetrievalDataset(cfg, name, tokenizer, tf)
         loader = DataLoader(ds, cfg.data.batch_size_val,
-                            num_workers=cfg.data.num_workers)
+                            num_workers=cfg.data.num_workers,
+                            shard_index=shard, shard_count=nshards)
         evaluate_benchmark(loader, model, params, cfg, mesh=mesh)
 
 
