@@ -61,6 +61,9 @@ def new_base_cfg() -> AttrDict:
     cfg.data.train_steps = -1
     cfg.data.val_steps = -1
     cfg.data.native_decode = True  # C++ decode fast path (data/native.py)
+    # batches staged to device ahead of the running step (shard_batch +
+    # normalize off the critical path); 0 disables
+    cfg.data.device_prefetch = 2
 
     cfg.optim = AttrDict()
     cfg.optim.name = "adamw"

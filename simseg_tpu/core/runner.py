@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from simseg_tpu.core.hooks import Hook, HookMode, LogMetrics, Priority
@@ -148,7 +149,7 @@ class EpochRunner(BaseRunner):
     def build_step_fns(self) -> None:
         raise NotImplementedError
 
-    def batch_processor(self, batch) -> Dict[str, Any]:
+    def batch_processor(self, batch, device_batch=None) -> Dict[str, Any]:
         raise NotImplementedError
 
     def val_step(self, batch) -> None:
@@ -218,10 +219,9 @@ class EpochRunner(BaseRunner):
                     self.val(loader, i)
         self.call_hook("after_run")
 
-    def train(self) -> None:
-        self.call_hook("_before_train_epoch")
-        start_inner = self.inner_step  # mid-epoch resume (clip_runner.py:267-278)
-        self.inner_step = 0
+    def _step_batch_stream(self, start_inner: int):
+        """(inner_step, batch) pairs honoring the train_steps cap and the
+        mid-epoch resume skip (clip_runner.py:267-278)."""
         for i, batch in enumerate(self._train_batch_iter()):
             if i >= self.train_steps:
                 # run exactly train_steps steps when data.train_steps caps a
@@ -229,9 +229,50 @@ class EpochRunner(BaseRunner):
                 break
             if i < start_inner:
                 continue
+            yield i, batch
+
+    def _staged_stream(self, pairs, size: int):
+        """Stage ``_prepare_batch`` (shard_batch H2D + device-side
+        normalize) for the next ``size`` batches while the current step
+        runs: the transfers are dispatched ahead of the blocking points of
+        step N, so H2D rides the gaps instead of the critical path
+        (``data.device_prefetch``; the TPU-native form of the reference's
+        pinned-memory non_blocking copies, clip_runner.py:65-77)."""
+        import collections
+
+        queue = collections.deque()
+        it = iter(pairs)
+
+        def put():
+            i, b = next(it)
+            queue.append((i, b, self._prepare_batch(b)))
+
+        for _ in range(max(1, size)):
+            try:
+                put()
+            except StopIteration:
+                break
+        while queue:
+            try:
+                put()
+            except StopIteration:
+                pass
+            yield queue.popleft()
+
+    def train(self) -> None:
+        self.call_hook("_before_train_epoch")
+        start_inner = self.inner_step  # mid-epoch resume (clip_runner.py:267-278)
+        self.inner_step = 0
+        stream = self._step_batch_stream(start_inner)
+        prefetch = int(self.cfg.data.get("device_prefetch", 2))
+        if prefetch > 0:
+            stream = self._staged_stream(stream, prefetch)
+        else:
+            stream = ((i, b, None) for i, b in stream)
+        for i, batch, device_batch in stream:
             self.inner_step = i
             self.call_hook("_before_train_step")
-            self.outputs = self.batch_processor(batch)
+            self.outputs = self.batch_processor(batch, device_batch)
             # increment before after-step hooks so checkpoints record the
             # count of completed steps (parity: reference gen_checkpoint
             # saves step+1, core/hooks/checkpoint.py:26) — resume then
@@ -311,13 +352,14 @@ class CLIPRunner(EpochRunner):
         if cfg.runner.name == "clip_bsgs":
             from simseg_tpu.engine.train_step import _moe_enabled
 
-            if (MODEL_AXIS in self.mesh.axis_names or fsdp or moe_ep
-                    or PIPE_AXIS in self.mesh.axis_names
+            if (moe_ep or PIPE_AXIS in self.mesh.axis_names
                     or _moe_enabled(self.model)):
+                # PP's GPipe forward and the MoE aux objective don't fold
+                # into the two-pass analytic gradient; TP/SP/FSDP/ZeRO-1 do
+                # (the scanned passes are ordinary pjit forwards)
                 raise NotImplementedError(
-                    "runner 'clip_bsgs' does not combine with dist.tp_size>1, "
-                    "dist.fsdp, dist.pp_size>1, or MoE towers yet "
-                    "(use runner.name='clip')"
+                    "runner 'clip_bsgs' does not combine with "
+                    "dist.pp_size>1 or MoE towers (use runner.name='clip')"
                 )
             loss_name = cfg.loss.get("name", "NCE")
             if loss_name not in ("NCE", "MixUpNCE"):
@@ -346,8 +388,9 @@ class CLIPRunner(EpochRunner):
                 mixup=loss_name == "MixUpNCE",
                 mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
                 shard_opt_state=zero1,
+                fsdp=fsdp,
             )
-            if zero1:
+            if zero1 or fsdp or MODEL_AXIS in self.mesh.axis_names:
                 self._adopt_step_factory(built)
             else:
                 self._step_fn = built
@@ -385,10 +428,14 @@ class CLIPRunner(EpochRunner):
 
             self.register_hook(RetrievalEvalHook(), Priority.VERY_LOW)
 
-    def batch_processor(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    def batch_processor(self, batch: Dict[str, np.ndarray],
+                        device_batch=None) -> Dict[str, Any]:
         """One train step (parity: clip_runner.py:216-251). Returns device
-        metrics — hooks materialize lazily at log cadence."""
-        device_batch = self._prepare_batch(batch)
+        metrics — hooks materialize lazily at log cadence. device_batch:
+        pre-staged device arrays from the prefetch stream (else prepared
+        here)."""
+        if device_batch is None:
+            device_batch = self._prepare_batch(batch)
         lr = self.lr_schedule(self.step)
         self.train_state, metrics = self._step_fn(
             self.train_state, device_batch, self._step_rng(), lr
@@ -436,11 +483,32 @@ class LinearProbRunner(EpochRunner):
                 "frozen and the classifier tiny) — use dist.tp_size=1"
             )
         smoothing = self.cfg.loss.get("smoothing", 0.0)
+        mixup_cfg = self.cfg.get("mixup", {}) or {}
+        mixup_alpha = (float(mixup_cfg.get("alpha", 0.2))
+                       if mixup_cfg.get("enable", False) else 0.0)
+        num_classes = self.cfg.model.classifier.num_classes
+        self._needs_step_rng = mixup_alpha > 0
         model, tx, set_lr = self.model, self.tx, self._set_lr
 
         def step_fn(state, batch, rng, lr):
+            if mixup_alpha > 0:
+                # batch mixup (cfg.mixup.*): Beta(a, a) blend of the batch
+                # with its flip, trained against the matching soft targets
+                # (the reference declares the same keys but never reads
+                # them; pairing mirrors its MixUpNCE batch flip,
+                # mml_loss.py:146-197)
+                mix_rng, rng = jax.random.split(rng)
+                lam = jax.random.beta(mix_rng, mixup_alpha, mixup_alpha)
+                images = batch["image"]
+                onehot = jax.nn.one_hot(batch["label"], num_classes)
+                batch = dict(
+                    batch,
+                    image=lam * images + (1.0 - lam) * jnp.flip(images, 0),
+                    label=lam * onehot + (1.0 - lam) * jnp.flip(onehot, 0),
+                )
             (_, metrics), grads = jax.value_and_grad(
-                lambda p: linear_prob_loss_fn(model, p, batch, rng, smoothing),
+                lambda p: linear_prob_loss_fn(model, p, batch, rng, smoothing,
+                                              soft_targets=mixup_alpha > 0),
                 has_aux=True,
             )(state.params)
             opt_state = set_lr(state.opt_state, lr)
@@ -478,11 +546,17 @@ class LinearProbRunner(EpochRunner):
 
             self.register_hook(LinearEvalHook(), Priority.VERY_LOW)
 
-    def batch_processor(self, batch) -> Dict[str, Any]:
-        device_batch = self._prepare_batch(batch)
+    def batch_processor(self, batch, device_batch=None) -> Dict[str, Any]:
+        if device_batch is None:
+            device_batch = self._prepare_batch(batch)
         lr = self.lr_schedule(self.step)
+        rng = self._step_rng()
+        if rng is None and getattr(self, "_needs_step_rng", False):
+            # mixup samples its Beta blend from the step key even when
+            # runner.stable_random is off
+            rng = jax.random.fold_in(self._rng, self.step)
         self.train_state, metrics = self._step_fn(
-            self.train_state, device_batch, self._step_rng(), lr
+            self.train_state, device_batch, rng, lr
         )
         self.state.log_metrics.add_counter("samples", batch["image"].shape[0])
         return metrics

@@ -47,9 +47,7 @@ def soft_target_ce(logits: jnp.ndarray, target_probs: jnp.ndarray) -> jnp.ndarra
 
 
 def _ce(logits: jnp.ndarray, targets: jnp.ndarray, smoothing: float) -> jnp.ndarray:
-    if smoothing > 0:
-        return label_smoothing_ce(logits, targets, smoothing)
-    return label_smoothing_ce(logits, targets, 0.0)
+    return label_smoothing_ce(logits, targets, smoothing)
 
 
 def _top1_acc(logits: jnp.ndarray, targets: jnp.ndarray,

@@ -6,7 +6,6 @@ from simseg_tpu.parallel.mesh import (
     batch_axes,
     batch_shards,
     data_sharding,
-    device_prefetch,
     init_distributed,
     local_batch_size,
     make_mesh,
@@ -29,7 +28,6 @@ __all__ = [
     "batch_axes",
     "batch_shards",
     "data_sharding",
-    "device_prefetch",
     "ep_shardings",
     "init_distributed",
     "local_batch_size",

@@ -85,16 +85,30 @@ def test_grad_reverse():
     np.testing.assert_allclose(np.asarray(g), -2.0)
 
 
-def test_device_prefetch():
-    from simseg_tpu.parallel import device_prefetch
+def test_staged_stream_prefetch_semantics():
+    """The train loop's device staging (cfg.data.device_prefetch): batches
+    are prepared ahead of consumption (up to `size` in flight), each exactly
+    once, yielded in order with their prepared form."""
+    from simseg_tpu.core.runner import EpochRunner
 
-    mesh = make_mesh()
-    batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(5)]
-    out = list(device_prefetch(iter(batches), mesh, size=2))
-    assert len(out) == 5
-    for i, b in enumerate(out):
-        np.testing.assert_allclose(np.asarray(b["x"]), i)
-        assert b["x"].sharding.is_fully_addressable
+    prepared = []
+
+    class Host:
+        def _prepare_batch(self, b):
+            prepared.append(b)
+            return ("dev", b)
+
+    pairs = [(i, f"b{i}") for i in range(5)]
+    stream = EpochRunner._staged_stream(Host(), iter(pairs), 2)
+    seen = []
+    for i, batch, device_batch in stream:
+        # when step i is consumed, steps up to i+2 are already staged
+        assert len(prepared) >= min(i + 2, 5)
+        assert len(prepared) <= min(i + 3, 5)
+        assert device_batch == ("dev", batch)
+        seen.append((i, batch))
+    assert seen == pairs
+    assert prepared == [b for _, b in pairs]
 
 
 def test_misc_helpers():

@@ -133,9 +133,9 @@ def test_train_steps_cap_runs_exactly_train_steps(toy_cfg):
     processed = []
     orig = runner.batch_processor
 
-    def counting(batch):
+    def counting(batch, device_batch=None):
         processed.append(runner.inner_step)
-        return orig(batch)
+        return orig(batch, device_batch)
 
     runner.batch_processor = counting
     runner.run()
@@ -180,9 +180,9 @@ def test_mid_epoch_resume_with_train_steps_cap(toy_cfg):
     processed = []
     orig = r2.batch_processor
 
-    def counting(batch):
+    def counting(batch, device_batch=None):
         processed.append((r2.epoch, r2.inner_step, r2.step))
-        return orig(batch)
+        return orig(batch, device_batch)
 
     r2.batch_processor = counting
     r2.run()
