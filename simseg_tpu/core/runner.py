@@ -25,7 +25,7 @@ from simseg_tpu.data.datasets import debias_batches, sequential_batches
 from simseg_tpu.data.transforms import normalize_images
 from simseg_tpu.engine.bsgs import make_bsgs_train_step
 from simseg_tpu.engine.train_step import TrainState, make_eval_step, make_train_step
-from simseg_tpu.parallel import make_mesh, shard_batch
+from simseg_tpu.parallel import batch_shards, make_mesh, shard_batch
 from simseg_tpu.utils.collections import AttrDict
 
 
@@ -83,8 +83,6 @@ class EpochRunner(BaseRunner):
         # batch divisibility guard (parity: core/initial.py:68-72). The
         # batch is split batch_shards(mesh) ways — under tensor parallelism
         # that's fewer than the device count (each TP group shares examples)
-        from simseg_tpu.parallel.mesh import batch_shards
-
         n_shards = batch_shards(self.mesh)
         if self.train_loaders and cfg.data.batch_size % n_shards != 0:
             raise ValueError(
@@ -401,6 +399,13 @@ class CLIPRunner(EpochRunner):
                 group_size=(group_size if group_size and group_size > 0 else -1),
                 loss_name=cfg.loss.get("name", "NCE"),
                 mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
+                # 'shard': mix/flip within each data shard's block — the
+                # reference's per-GPU pairing under DDP (mml_loss.py:146-197)
+                # and shard-local on TPU; 'global': one fused-batch flip
+                mixup_shards=(
+                    batch_shards(self.mesh)
+                    if cfg.get("mixup", {}).get("pairing", "shard") == "shard"
+                    else 1),
                 triplet_margin=cfg.loss.get("triplet_loss", {}).get("margin", 0.2),
                 triplet_reduce=cfg.loss.get("triplet_loss", {}).get("reduce_mode", "max"),
                 extra_losses=tuple(cfg.loss.get("extra_losses", []) or ()),

@@ -65,6 +65,17 @@ def mixup_lambda(rng: Optional[jax.Array], step, alpha: float) -> jnp.ndarray:
     return jnp.maximum(lam, 1.0 - lam)
 
 
+def _block_flip(x: jnp.ndarray, shards: int) -> jnp.ndarray:
+    """Reverse the leading dim within each of ``shards`` equal blocks
+    (shards=1 -> plain [::-1]). With the batch dim sharded over ``shards``
+    data shards, each block is shard-local — no cross-chip gather."""
+    shards = max(1, shards)
+    n = x.shape[0]
+    if shards == 1 or n % shards != 0:
+        return x[::-1]
+    return x.reshape((shards, n // shards) + x.shape[1:])[:, ::-1].reshape(x.shape)
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
@@ -189,6 +200,7 @@ def clip_loss_fn(
     step=None,
     forward_fn: Optional[Callable] = None,
     moe_aux_weight: float = 0.01,
+    mixup_shards: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Forward + contrastive loss (parity: pipelines/clip.py:123-176
     forward_loss, dispatching on cfg.loss.name like the LOSS registry;
@@ -200,14 +212,20 @@ def clip_loss_fn(
 
     if loss_name == "MixUpNCE":
         # single-modality (image) mixup: lam ~ Beta(a, a) per step, images
-        # mixed with the batch-reversed pairing (parity: mml_loss.py:146-197;
-        # flip over the FUSED GLOBAL batch here — the reference mixes within
-        # each forward's input, which is the per-GPU batch under DDP; the
-        # BSGS runner analogously flips per micro-batch, so the pairing
-        # granularity intentionally differs between the two runners)
+        # mixed with a block-reversed pairing (parity: mml_loss.py:146-197).
+        # mixup_shards splits the fused global batch into that many equal
+        # blocks and flips within each — the reference mixes within each
+        # forward's input, i.e. the per-GPU batch under DDP, so the runner
+        # passes batch_shards(mesh) (cfg.mixup.pairing='shard', the
+        # default); 1 = one global flip. Block flips are also the better
+        # TPU program: each block stays on its data shard, so the pairing
+        # never moves images across chips. The BSGS runner analogously
+        # flips per micro-batch.
         lam = mixup_lambda(rng, step, mixup_alpha_param)
         batch = dict(batch)
-        batch["image"] = lam * batch["image"] + (1.0 - lam) * batch["image"][::-1]
+        batch["image"] = (lam * batch["image"]
+                          + (1.0 - lam) * _block_flip(batch["image"],
+                                                      mixup_shards))
 
     new_stats = None
     moe_aux = None
@@ -269,11 +287,11 @@ def clip_loss_fn(
         raise NotImplementedError(f"loss '{name}'")
 
     if loss_name == "MixUpNCE":
-        n = img.shape[0]
-        i2t, i2t_acc = mixup_nce(img, txt, temp, lam, flip_block=n,
+        blk = img.shape[0] // max(1, mixup_shards)
+        i2t, i2t_acc = mixup_nce(img, txt, temp, lam, flip_block=blk,
                                  ignore_mask=batch.get("ignore_mask"),
                                  smoothing=smoothing)
-        t2i, t2i_acc = mixup_nce(txt, img, temp, lam, flip_block=n,
+        t2i, t2i_acc = mixup_nce(txt, img, temp, lam, flip_block=blk,
                                  ignore_mask=batch.get("ignore_mask"),
                                  smoothing=smoothing)
         loss = 0.5 * (i2t + t2i)

@@ -169,7 +169,9 @@ def task_cfg_init_fn(cfg: AttrDict) -> None:
 
     # single-modality mixup for loss.name=MixUpNCE (the reference samples
     # alpha inside MixUpNCE, mml_loss.py:146-160; BSGS flips per micro-batch)
-    cfg.mixup = AttrDict(alpha=0.2)
+    # pairing='shard' flips within each data shard's block (the reference's
+    # per-GPU pairing under DDP); 'global' flips the fused global batch
+    cfg.mixup = AttrDict(alpha=0.2, pairing="shard")
 
 
 def update_clip_config(cfg: AttrDict) -> None:

@@ -147,3 +147,71 @@ def test_bsgs_rejects_unsupported_loss(toy_like_cfg=None):
     ], target=new_base_cfg())
     with pytest.raises(NotImplementedError, match="Triplet"):
         CLIPRunner(cfg, tiny_clip(), {"train": [], "val": []})
+
+
+def test_mixup_per_shard_pairing_matches_manual():
+    """mixup_shards=S mixes and flip-targets within each of S equal blocks
+    (the reference's per-GPU pairing under DDP, mml_loss.py:146-197):
+    clip_loss_fn's fused path equals an explicit per-block re-derivation."""
+    import jax.numpy as jnp
+
+    from simseg_tpu.engine.train_step import mixup_lambda
+    from simseg_tpu.ops.losses import mixup_nce
+
+    model = tiny_clip()
+    batch = _batch(8, seed=30)
+    params = model.init(jax.random.key(0), batch)
+    rng = jax.random.key(7)
+
+    got, metrics = clip_loss_fn(model, params, batch, rng,
+                                loss_name="MixUpNCE", mixup_shards=2)
+
+    # manual: lam from the same fold; explicit numpy block flip (blocks of
+    # 4); embeddings through the model; alpha-weighted CE via mixup_nce
+    lam = mixup_lambda(rng, None, 0.2)
+    imgs = np.asarray(batch["image"])
+    flip_idx = np.array([3, 2, 1, 0, 7, 6, 5, 4])
+    mixed = dict(batch)
+    mixed["image"] = jnp.asarray(
+        float(lam) * imgs + (1.0 - float(lam)) * imgs[flip_idx])
+    img_e, txt_e, temp = model.apply(params, mixed, deterministic=False,
+                                     rngs={"dropout": rng})
+    img_e = img_e.astype(jnp.float32)
+    txt_e = txt_e.astype(jnp.float32)
+    i2t, _ = mixup_nce(img_e, txt_e, temp, lam, flip_block=4)
+    t2i, _ = mixup_nce(txt_e, img_e, temp, lam, flip_block=4)
+    want = 0.5 * (float(i2t) + float(t2i))
+    assert float(got) == pytest.approx(want, rel=1e-5)
+
+
+def test_mixup_per_shard_on_mesh_matches_single_device():
+    """The block flip is defined by index, not placement: the same
+    mixup_shards=8 loss comes out of an 8-device data mesh and a single
+    device (and the blockwise flip needs no cross-chip gather)."""
+    import jax.numpy as jnp
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from simseg_tpu.parallel import data_sharding, make_mesh
+
+    model = tiny_clip()
+    batch = _batch(16, seed=31)
+    params = model.init(jax.random.key(0), batch)
+    rng = jax.random.key(9)
+
+    single, _ = clip_loss_fn(model, params, batch, rng,
+                             loss_name="MixUpNCE", mixup_shards=8)
+
+    mesh = make_mesh()
+    data = data_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    fn = jax.jit(
+        lambda p, b, r: clip_loss_fn(model, p, b, r, loss_name="MixUpNCE",
+                                     mixup_shards=8)[0],
+        in_shardings=(repl, data, repl),
+        out_shardings=repl,
+    )
+    sharded = {k: jax.device_put(v, data) for k, v in batch.items()}
+    meshed = fn(jax.device_put(params, repl), sharded,
+                jax.device_put(rng, repl))
+    assert float(meshed) == pytest.approx(float(single), rel=1e-5)
