@@ -495,24 +495,36 @@ class LinearProbRunner(EpochRunner):
         self._needs_step_rng = mixup_alpha > 0
         model, tx, set_lr = self.model, self.tx, self._set_lr
 
+        stable = self.cfg.runner.get("stable_random", "none") != "none"
+
         def step_fn(state, batch, rng, lr):
+            fwd_rng = rng
             if mixup_alpha > 0:
                 # batch mixup (cfg.mixup.*): Beta(a, a) blend of the batch
                 # with its flip, trained against the matching soft targets
                 # (the reference declares the same keys but never reads
                 # them; pairing mirrors its MixUpNCE batch flip,
-                # mml_loss.py:146-197)
-                mix_rng, rng = jax.random.split(rng)
+                # mml_loss.py:146-197). With stable_random off the rng
+                # exists only for the blend — the tower forward stays
+                # deterministic, exactly as it is without mixup.
+                mix_rng, carried = jax.random.split(rng)
+                fwd_rng = carried if stable else None
                 lam = jax.random.beta(mix_rng, mixup_alpha, mixup_alpha)
                 images = batch["image"]
                 onehot = jax.nn.one_hot(batch["label"], num_classes)
+                if smoothing > 0:
+                    # cfg.loss.smoothing composes with mixup: smooth the
+                    # one-hots before blending (CE is linear in the target,
+                    # so this equals smoothing each mixed term)
+                    onehot = onehot * (1.0 - smoothing) + smoothing / num_classes
                 batch = dict(
                     batch,
                     image=lam * images + (1.0 - lam) * jnp.flip(images, 0),
                     label=lam * onehot + (1.0 - lam) * jnp.flip(onehot, 0),
                 )
             (_, metrics), grads = jax.value_and_grad(
-                lambda p: linear_prob_loss_fn(model, p, batch, rng, smoothing,
+                lambda p: linear_prob_loss_fn(model, p, batch, fwd_rng,
+                                              smoothing,
                                               soft_targets=mixup_alpha > 0),
                 has_aux=True,
             )(state.params)

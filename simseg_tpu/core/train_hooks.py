@@ -269,9 +269,18 @@ def _local_rows(arr) -> np.ndarray:
     process's loader rows (the per-process eval shard), in batch order; the
     cross-process gather happens later on numpy (process_allgather)."""
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        shards = sorted(arr.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards])
+        # dedup by index: on a mesh with a 'model'/'pipe' axis each row
+        # block is replicated across that axis, so a host's addressable
+        # shards repeat the same rows once per replica
+        seen, rows = set(), []
+        for s in sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0):
+            key = tuple((sl.start, sl.stop) for sl in s.index)
+            if key in seen:
+                continue
+            seen.add(key)
+            rows.append(np.asarray(s.data))
+        return np.concatenate(rows)
     return np.asarray(jax.device_get(arr))
 
 
@@ -356,12 +365,20 @@ class LinearEvalHook(Hook):
         self._logits, self._labels = [], []
 
     def after_val_step(self, runner) -> None:
-        self._logits.append(np.asarray(jax.device_get(runner.outputs["logits"])))
+        self._logits.append(_local_rows(runner.outputs["logits"]))
         self._labels.append(np.asarray(runner.outputs["label"]))
 
     def after_val_epoch(self, runner) -> None:
         logits = np.concatenate(self._logits)
         labels = np.concatenate(self._labels)
+        if jax.process_count() > 1 and not runner.cfg.data.get("single_eval",
+                                                               True):
+            # distributed eval (reference linear hooks/eval.py): gather the
+            # per-process shards so every process reports full-set accuracy
+            from simseg_tpu.parallel.collectives import process_allgather
+
+            logits = process_allgather(logits).reshape(-1, logits.shape[-1])
+            labels = process_allgather(labels).reshape(-1)
         top5 = np.argsort(-logits, axis=1)[:, :5]
         acc1 = float(np.mean(top5[:, 0] == labels))
         acc5 = float(np.mean(np.any(top5 == labels[:, None], axis=1)))

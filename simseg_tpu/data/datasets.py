@@ -171,13 +171,17 @@ class SegDataset:
     def max_label_size(self) -> tuple:
         """(max_h, max_w) over all GT label maps, from the PNG headers only
         (no pixel decode) — lets the eval size its padded GT canvas up front
-        instead of crashing mid-dataset on an oversized label."""
-        mh = mw = 0
-        for item in self.names:
-            with Image.open(self._label_file(item)) as im:
-                w, h = im.size
-            mh, mw = max(mh, h), max(mw, w)
-        return mh, mw
+        instead of crashing mid-dataset on an oversized label. Cached: the
+        split is immutable, and rescanning tens of thousands of headers on
+        every evaluate_benchmark call (per process) is pure waste."""
+        if not hasattr(self, "_max_label_size"):
+            mh = mw = 0
+            for item in self.names:
+                with Image.open(self._label_file(item)) as im:
+                    w, h = im.size
+                mh, mw = max(mh, h), max(mw, w)
+            self._max_label_size = (mh, mw)
+        return self._max_label_size
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         item = self.names[index]
@@ -425,6 +429,16 @@ def build_clip_dataloaders(cfg, tokenizer=None) -> Dict[str, Any]:
     else:
         raise NotImplementedError(cfg.data.train_type)
 
+    # single_eval=True (reference default, clip/config.py:73): full-set
+    # metrics — every process feeds the whole val set (the global-mesh eval
+    # is collective, so "rank 0 only" is not expressible; full-set-everywhere
+    # reproduces rank 0's numbers on every process). False = distributed
+    # eval: per-process shards + the eval hook's gather (eval.py:32-39).
+    if cfg.data.get("single_eval", True):
+        vshard, vnshards = 0, 1
+        bs_val = cfg.data.batch_size_val
+    else:
+        vshard, vnshards = shard, nshards
     val = []
     if cfg.data.enable_valid:
         for name in cfg.data.valid_name:
@@ -434,7 +448,7 @@ def build_clip_dataloaders(cfg, tokenizer=None) -> Dict[str, Any]:
                 ds = CsvPairDataset(cfg, name, tokenizer, valid_tf, "valid")
             val.append(
                 DataLoader(ds, bs_val, num_workers=cfg.data.num_workers,
-                           shard_index=shard, shard_count=nshards,
+                           shard_index=vshard, shard_count=vnshards,
                            pad_shards=True)
             )
     return dict(train=train, train_dataset=train_datasets, val=val)
@@ -473,8 +487,14 @@ def build_imagenet_dataloaders(cfg) -> Dict[str, Any]:
                        drop_last=True, num_workers=cfg.data.num_workers,
                        shard_index=shard, shard_count=nshards,
                        pad_shards=True)
-    val = DataLoader(val_ds, cfg.data.batch_size_val // nshards,
+    # single_eval semantics as in build_clip_dataloaders
+    if cfg.data.get("single_eval", True):
+        vshard, vnshards, bs_val = 0, 1, cfg.data.batch_size_val
+    else:
+        vshard, vnshards = shard, nshards
+        bs_val = cfg.data.batch_size_val // nshards
+    val = DataLoader(val_ds, bs_val,
                      num_workers=cfg.data.num_workers,
-                     shard_index=shard, shard_count=nshards,
+                     shard_index=vshard, shard_count=vnshards,
                      pad_shards=True)
     return dict(train=[train], train_dataset=None, val=[val])

@@ -244,6 +244,7 @@ def make_bsgs_train_step(
     shard_opt_state: bool = False,
     opt_shard_min_size: int = 2**16,
     fsdp: bool = False,
+    fsdp_min_size: int = 2**14,
 ):
     """Full BSGS train step (grad fn + optimizer), jitted; mirrors
     make_train_step's contract — including the factory form
@@ -293,6 +294,7 @@ def make_bsgs_train_step(
                 state_template, mesh, tp=tp, fsdp=fsdp,
                 shard_opt_state=shard_opt_state,
                 opt_shard_min_size=opt_shard_min_size,
+                fsdp_min_size=fsdp_min_size,
             )
             fn = jax.jit(
                 step_fn,

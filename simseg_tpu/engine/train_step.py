@@ -287,7 +287,11 @@ def clip_loss_fn(
         raise NotImplementedError(f"loss '{name}'")
 
     if loss_name == "MixUpNCE":
-        blk = img.shape[0] // max(1, mixup_shards)
+        # flip_block must mirror _block_flip's divisibility fallback, or
+        # the (1-lam) CE term would target rows that were never mixed in
+        n = img.shape[0]
+        s = max(1, mixup_shards)
+        blk = n // s if (s > 1 and n % s == 0) else n
         i2t, i2t_acc = mixup_nce(img, txt, temp, lam, flip_block=blk,
                                  ignore_mask=batch.get("ignore_mask"),
                                  smoothing=smoothing)

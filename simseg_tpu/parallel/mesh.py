@@ -168,6 +168,15 @@ def eval_mesh(mesh: Optional[Mesh], loader_batch) -> Optional[Mesh]:
 
     if mesh is None:
         return None
+    if jax.process_count() > 1:
+        # the standalone tools shard their DATASETS per process (each
+        # process runs independent local jits and the results are gathered
+        # on the host at the end) — a global-mesh jit would both assume
+        # replicated host inputs and deadlock on uneven shard batch counts
+        logger.info(
+            "multi-process eval: per-process shards on local devices "
+            "(host gather at the end); not sharding over the global mesh")
+        return None
     n = batch_shards(mesh)
     if not loader_batch or loader_batch % n != 0:
         logger.warning(

@@ -237,7 +237,7 @@ def test_bsgs_train_step_factory_on_sharded_towers(knobs):
     mesh = make_mesh(tp_size=tp_size)
     factory = make_bsgs_train_step(model, tx, set_lr, num_micro=2, mesh=mesh,
                                    donate=False, shard_opt_state=zero1,
-                                   fsdp=fsdp)
+                                   fsdp=fsdp, fsdp_min_size=256)
     step, placed = factory(state)
     sharded = shard_batch(batch, mesh)
     losses = []
@@ -245,6 +245,13 @@ def test_bsgs_train_step_factory_on_sharded_towers(knobs):
         placed, m = step(placed, sharded, None, 1e-3)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+    if fsdp:
+        # the tiny towers' largest kernels really are ZeRO-3-split
+        from simseg_tpu.parallel.mesh import DATA_AXIS
+
+        specs = [str(p.sharding.spec)
+                 for p in jax.tree.leaves(placed.params)]
+        assert any(DATA_AXIS in s for s in specs), specs
     if tp_size > 1:
         # qkv kernels really are sharded over 'model'
         from simseg_tpu.parallel.mesh import MODEL_AXIS

@@ -312,6 +312,63 @@ def test_two_process_eval_tools_match_single(tmp_path):
         assert results[0]["retrieval"][k] == pytest.approx(v, abs=1e-6), k
 
 
+_LOCAL_ROWS_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["REPO"])
+
+from simseg_tpu.parallel.mesh import init_distributed
+init_distributed()
+pid = jax.process_index()
+assert jax.local_device_count() == 2
+
+import numpy as np
+import jax.numpy as jnp
+from simseg_tpu.core.train_hooks import _local_rows
+from simseg_tpu.parallel.mesh import data_sharding, make_mesh, shard_batch
+
+# (data=2, model=2) over 2 processes x 2 devices: each process holds one
+# row block, replicated across its two model-axis devices
+mesh = make_mesh(tp_size=2)
+local = np.arange(8, dtype=np.float32).reshape(4, 2) + 100 * pid
+g = shard_batch({"x": local}, mesh)["x"]
+out = jax.jit(lambda x: x * 2, in_shardings=data_sharding(mesh),
+              out_shardings=data_sharding(mesh))(g)
+rows = _local_rows(out)
+# model-axis replicas deduped: exactly this process's rows, in order
+np.testing.assert_array_equal(rows, local * 2)
+print("LOCALROWS:ok", pid)
+"""
+
+
+@pytest.mark.slow
+def test_local_rows_dedups_model_replicas():
+    """Eval-output collection on a TP mesh: each host's addressable shards
+    repeat row blocks once per model replica; _local_rows must return each
+    row exactly once, matching the host's loader shard."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            COORDINATOR_ADDRESS=f"localhost:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+            REPO=REPO,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _LOCAL_ROWS_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err[-2000:]}"
+        assert "LOCALROWS:ok" in out
+
+
 _TRAIN_WORKER = r"""
 import json, os, sys
 import jax

@@ -88,6 +88,15 @@ def evaluate_benchmark(loader, model, params, cfg, mesh=None) -> dict:
         iids.append(np.asarray(batch["image_id"]))
         cids.append(np.asarray(batch["caption_id"]))
 
+    if not imgs:
+        # empty process shard (len(dataset) < process_count): still join
+        # the gather below with zero rows, or the peers would hang in
+        # process_allgather waiting for this process
+        dim = int(cfg.model.projection.dim)
+        imgs = [np.zeros((0, dim), np.float32)]
+        txts = [np.zeros((0, dim), np.float32)]
+        iids = [np.zeros((0,), np.int64)]
+        cids = [np.zeros((0,), np.int64)]
     img_all = np.concatenate(imgs)
     txt_all = np.concatenate(txts)
     iid_all = np.concatenate(iids)

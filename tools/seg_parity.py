@@ -464,7 +464,21 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
 
 def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
                size: int = 288, root=None) -> dict:
-    """Run both pipelines on the same fixture; return the metric dict."""
+    """Run both pipelines on the same fixture; return the metric dict.
+    Owns (and removes) a temp fixture dir unless ``root`` is given."""
+    owns_root = root is None
+    if owns_root:
+        root = tempfile.mkdtemp(prefix="seg_parity_")
+    try:
+        return _run_parity(root, n_images, n_classes, seed, size)
+    finally:
+        if owns_root:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _run_parity(root, n_images, n_classes, seed, size) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -481,9 +495,6 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
     from simseg_tpu.utils.metrics import miou_from_totals
     from simseg_tpu.utils.prompts import IMAGENET_TEMPLATES
 
-    owns_root = root is None
-    if owns_root:
-        root = tempfile.mkdtemp(prefix="seg_parity_")
     classes, tmodel, ckpt = build_fixture(root, n_images, n_classes, seed,
                                           size)
     cfg = make_parity_cfg(root, n_images, size)
