@@ -34,9 +34,15 @@ from simseg_tpu.utils.retrieval import retrieval_summary
 
 class LogHook(Hook):
 
-    def before_run(self, runner) -> None:
+    def __init__(self) -> None:
+        # also set here so drivers that call runner.train() directly
+        # (benchmarks) work without the run() lifecycle
         self._t0 = time.time()
         self._step_times: List[float] = []
+
+    def before_run(self, runner) -> None:
+        self._t0 = time.time()
+        self._step_times = []
 
     def before_train_step(self, runner) -> None:
         self._t0 = time.time()

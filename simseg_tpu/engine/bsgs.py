@@ -41,6 +41,7 @@ import numpy as np
 import optax
 
 from simseg_tpu.engine.train_step import TrainState, mixup_lambda
+from simseg_tpu.ops.attention import attention_training
 
 _BATCH_KEYS = ("image", "input_ids", "attention_mask")
 
@@ -217,7 +218,13 @@ def make_bsgs_grad_fn(
             return jax.tree.map(jnp.add, gacc, gr), None
 
         zeros = jax.tree.map(jnp.zeros_like, params)
-        grads, _ = jax.lax.scan(bwd, zeros, (idx, micro, left_i_m, left_t_m))
+        # pass 2 is differentiated: mark it so eligible (long-T) attention
+        # shapes take the fused fwd+bwd kernel instead of the inference
+        # kernel's einsum-rederived VJP (ops/attention.py). Pass 1 above is
+        # grad-free and correctly keeps the inference routing.
+        with attention_training():
+            grads, _ = jax.lax.scan(bwd, zeros,
+                                    (idx, micro, left_i_m, left_t_m))
 
         metrics = {
             "loss": loss,

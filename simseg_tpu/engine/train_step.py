@@ -14,6 +14,7 @@ reference's DDP) automatically from the shardings — both ride ICI.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -25,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from simseg_tpu.parallel.mesh import MODEL_AXIS, batch_axes, data_sharding
 from simseg_tpu.parallel.tp import tp_shardings
+from simseg_tpu.ops.attention import attention_training
 from simseg_tpu.ops.losses import (
     mixup_nce,
     mse_embedding_loss,
@@ -367,13 +369,23 @@ def make_train_step(
         loss_kwargs = dict(loss_kwargs,
                            forward_fn=make_pp_forward(model, mesh, pp_micro))
 
+    # the fused fwd+bwd attention kernel (ops/flash_attention.py
+    # flash_mha_train) only pays off when a backward pass exists; mark the
+    # differentiated region at trace time so eligible tower shapes route
+    # through it. PP keeps the einsum lowering: its forward runs inside
+    # shard_map over a 'pipe' mesh, a Pallas composition this environment
+    # cannot execute-validate (no multi-chip hardware).
+    attn_ctx = (contextlib.nullcontext if "forward_fn" in loss_kwargs
+                else attention_training)
+
     def step_fn(state: TrainState, batch, rng, lr):
-        (_, metrics), grads = jax.value_and_grad(
-            lambda p: clip_loss_fn(model, p, batch, rng, smoothing, group_size,
-                                   loss_name=loss_name, step=state.step,
-                                   **loss_kwargs),
-            has_aux=True,
-        )(state.params)
+        with attn_ctx():
+            (_, metrics), grads = jax.value_and_grad(
+                lambda p: clip_loss_fn(model, p, batch, rng, smoothing,
+                                       group_size, loss_name=loss_name,
+                                       step=state.step, **loss_kwargs),
+                has_aux=True,
+            )(state.params)
         metrics = dict(metrics)
         new_stats = metrics.pop("_new_batch_stats", None)
         opt_state = set_lr(state.opt_state, lr)

@@ -8,10 +8,33 @@ the (B, H, T, T) score tensor's HBM round trips.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# trace-time marker: "the forward being traced right now will be
+# differentiated". jit tracing executes the wrapped Python synchronously, so
+# a contextvar set inside the grad-taken closure (engine/train_step.py) is
+# visible to every attention call it reaches — without threading a kwarg
+# through every module in between. Dropout's `deterministic` is NOT this
+# signal: a no-dropout training forward runs deterministic=True yet still
+# has a backward pass.
+_TRAINING_TRACE = contextvars.ContextVar("attention_training", default=False)
+
+
+@contextlib.contextmanager
+def attention_training():
+    """Mark the enclosed (trace-time) region as differentiated: eligible
+    attention calls route through the fused fwd+bwd Pallas kernel
+    (``flash_mha_train``) instead of the inference kernel/einsum."""
+    token = _TRAINING_TRACE.set(True)
+    try:
+        yield
+    finally:
+        _TRAINING_TRACE.reset(token)
 
 
 def multi_head_attention(
@@ -22,6 +45,7 @@ def multi_head_attention(
     attention_bias: Optional[jnp.ndarray] = None,
     dtype: jnp.dtype = jnp.float32,
     use_flash: str = "auto",
+    training: Optional[bool] = None,
 ) -> jnp.ndarray:
     """q, k, v: (B, T, D) with D = num_heads * head_dim.
 
@@ -32,7 +56,16 @@ def multi_head_attention(
     towers) through the VMEM-resident Pallas kernel
     (ops/flash_attention.py); 'never' keeps the einsum path; 'interpret'
     forces the kernel in interpreter mode (CPU tests).
+
+    training: this call will be differentiated — routes eligible shapes
+    through ``flash_mha_train`` (fused Pallas forward AND backward), whose
+    cost model differs from the inference kernel's (see
+    ``flash_train_supported``). None (default) consults the ambient
+    ``attention_training()`` region the train step opens around its
+    differentiated forward.
     """
+    if training is None:
+        training = _TRAINING_TRACE.get()
     b, tq, d = q.shape
     tk = k.shape[1]
     if d % num_heads != 0:
@@ -75,11 +108,23 @@ def multi_head_attention(
     if use_flash != "never" and attention_bias is None:
         # (the kernel has no bias input — a biased call must use the einsum
         # path regardless of mode, or padding masks would be dropped)
-        from simseg_tpu.ops.flash_attention import flash_mha, flash_supported
+        from simseg_tpu.ops.flash_attention import (
+            flash_mha, flash_mha_train, flash_supported,
+            flash_train_supported)
 
         if use_flash == "interpret":
-            out = flash_mha(qh, kh, vh, True)
+            out = (flash_mha_train if training else flash_mha)(qh, kh, vh,
+                                                               True)
             return out.reshape(b, tq, d).astype(dtype)
+        if training and flash_train_supported(b, num_heads, tq, tk, hd,
+                                              dtype, attention_bias):
+            out = jax.lax.platform_dependent(
+                qh, kh, vh,
+                tpu=lambda a, b_, c: flash_mha_train(a, b_, c, False)
+                .astype(dtype),
+                default=einsum_attn,
+            )
+            return out.reshape(b, tq, d)
         if flash_supported(tq, tk, hd, dtype, attention_bias):
             # The kernel-vs-einsum choice is resolved per LOWERING PLATFORM
             # (lax.platform_dependent), not by the tracing host's backend:

@@ -88,6 +88,82 @@ def _mha_pallas(qh, kh, vh, interpret=False):
     return jnp.transpose(out.reshape(b, h, tq, hd), (0, 2, 1, 3))
 
 
+def _mha_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
+    """Fused attention backward for one (batch, head) tile: recompute the
+    softmax in VMEM, then all five gradient matmuls without the (T, T)
+    score/probability tensors ever touching HBM. Gradient algebra (the
+    einsum-path VJP, ops/attention.py):
+
+        p  = softmax(q k^T)         dv = p^T g
+        dp = g v^T                  ds = p * (dp - rowsum(p * dp))
+        dq = ds k                   dk = ds^T q
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Tq, Tk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    pc = p.astype(v.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        pc, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Tq, Tk)
+    ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mha_bwd_pallas(qh, kh, vh, g, interpret=False):
+    """qh/kh/vh/g: (B, T, H, hd) (q pre-scaled, g = dL/d out). Returns
+    (dq, dk, dv) in the same layout. One program per (batch, head), same
+    fold as the forward kernel."""
+    b, tq, h, hd = qh.shape
+    tk = kh.shape[1]
+
+    def fold(x, t):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, hd)
+
+    def spec(t):
+        return pl.BlockSpec((1, t, hd), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        _mha_bwd_kernel,
+        grid=(b * h,),
+        in_specs=[spec(tq), spec(tk), spec(tk), spec(tq)],
+        out_specs=[spec(tq), spec(tk), spec(tk)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq, hd), qh.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, hd), kh.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, hd), vh.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * tq * tk * hd,
+            bytes_accessed=(5 * b * tq * h * hd + 4 * b * tk * h * hd)
+            * qh.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+        interpret=interpret,
+    )(fold(qh, tq), fold(kh, tk), fold(vh, tk), fold(g, tq))
+
+    def unfold(x, t):
+        return jnp.transpose(x.reshape(b, h, t, hd), (0, 2, 1, 3))
+
+    return unfold(dq, tq), unfold(dk, tk), unfold(dv, tk)
+
+
 def _reference_mha(qh, kh, vh):
     """The einsum formulation (ops/attention.py bf16 path) used to derive
     the backward pass; f32 score accumulation to match the kernel."""
@@ -120,6 +196,54 @@ def _flash_bwd(interpret, res, g):
 
 
 flash_mha.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_mha_train(qh, kh, vh, interpret=False):
+    """Fused attention with BOTH passes in Pallas (training path): the
+    forward kernel plus ``_mha_bwd_pallas`` (flash-style recompute — only
+    q/k/v are saved, and the (T, T) score tensors never touch HBM in either
+    direction). ``flash_mha`` keeps the einsum-derived backward for the
+    parity lane."""
+    return _mha_pallas(qh, kh, vh, interpret=interpret)
+
+
+def _flash_train_fwd(qh, kh, vh, interpret):
+    return _mha_pallas(qh, kh, vh, interpret=interpret), (qh, kh, vh)
+
+
+def _flash_train_bwd(interpret, res, g):
+    qh, kh, vh = res
+    return _mha_bwd_pallas(qh, kh, vh, g.astype(qh.dtype),
+                           interpret=interpret)
+
+
+flash_mha_train.defvjp(_flash_train_fwd, _flash_train_bwd)
+
+
+def flash_train_supported(b: int, h: int, tq: int, tk: int, hd: int,
+                          dtype, attention_bias) -> bool:
+    """Gate for ``flash_mha_train`` (fused fwd+bwd) under autodiff: the
+    long-sequence band only, same as ``flash_supported``.
+
+    MEASURED (v5e, bf16, hd=64). Long T — b=8, T=1297 (576 px ViT-B):
+    fwd+bwd 3.47 ms fused vs 5.72 ms einsum (1.65x), and vs 8.49 ms for
+    the Pallas-fwd + einsum-rederived-bwd hybrid the inference kernel's
+    VJP would give — so a differentiated long-T region must take the
+    fully-fused form. Mid T (325, the 288 px train shape): the standalone
+    call wins at b*h=384 (2.68 vs 3.07 ms) BUT the full flagship train
+    step is 11% SLOWER with it (71.0 vs 63.8 ms/step, batch 32): the
+    kernel boundary breaks XLA's fusion of attention into the
+    qkv/proj/residual neighborhood and adds the (B,T,H,hd)->(B*H,T,hd)
+    relayout in both passes, which outweighs the 0.4 ms/call standalone
+    margin. Hence no mid-T branch here — einsum owns T < 1024."""
+    if attention_bias is not None or dtype == jnp.float32:
+        return False
+    if hd % 64 != 0 or hd > 256:
+        return False
+    if tq != tk:
+        return False  # self-attention towers only (no cross shapes measured)
+    return 1024 <= tq <= _MAX_T
 
 
 def flash_supported(tq: int, tk: int, hd: int, dtype,

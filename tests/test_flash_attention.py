@@ -48,6 +48,84 @@ def test_gradients_match_einsum():
         )
 
 
+def test_train_bwd_kernel_matches_einsum_vjp():
+    """flash_mha_train's fused Pallas backward reproduces the einsum-path
+    VJP: exact in f32 (reduction-order noise only), bf16-ulp level in
+    bf16."""
+    from simseg_tpu.ops.flash_attention import _reference_mha, flash_mha_train
+
+    rng = np.random.default_rng(0)
+    b, t, h, hd = 2, 24, 3, 64
+    for dt, atol in ((jnp.float32, 1e-4), (jnp.bfloat16, 0.25)):
+        q, k, v, g = (
+            jnp.asarray(rng.normal(size=(b, t, h, hd)).astype(np.float32),
+                        dtype=dt)
+            for _ in range(4)
+        )
+
+        def f_ref(q, k, v):
+            return jnp.sum(_reference_mha(q, k, v).astype(jnp.float32)
+                           * g.astype(jnp.float32))
+
+        def f_ker(q, k, v):
+            return jnp.sum(flash_mha_train(q, k, v, True)
+                           .astype(jnp.float32) * g.astype(jnp.float32))
+
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        g_ker = jax.grad(f_ker, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_ref, g_ker):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                atol=atol, rtol=0.02,
+            )
+
+
+def test_train_supported_gating():
+    """flash_train_supported: measured fwd+bwd economics (v5e) — small
+    program counts win at mid T, big ones don't; long T always wins."""
+    from simseg_tpu.ops.flash_attention import flash_train_supported
+
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    assert flash_train_supported(8, 12, 1297, 1297, 64, bf16, None)  # long T
+    assert flash_train_supported(64, 12, 1024, 1024, 64, bf16, None)
+    # mid T: standalone win but full-step LOSS (fusion break) — einsum owns it
+    assert not flash_train_supported(32, 12, 325, 325, 64, bf16, None)
+    assert not flash_train_supported(32, 12, 128, 128, 64, bf16, None)  # tiny T
+    assert not flash_train_supported(8, 12, 2048, 2048, 64, bf16, None)  # VMEM cap
+    assert not flash_train_supported(8, 12, 1297, 1297, 64, f32, None)  # parity lane
+    assert not flash_train_supported(8, 12, 1297, 1297, 64, bf16, 0.0)  # biased
+    assert not flash_train_supported(8, 12, 1297, 1024, 64, bf16, None)  # cross
+    assert not flash_train_supported(8, 12, 1297, 1297, 48, bf16, None)  # lanes
+
+
+def test_train_routing_grads_flow():
+    """multi_head_attention(training=True) differentiates through the
+    platform_dependent routing; on CPU it statically resolves to the einsum
+    branch and grads equal the training=False path bit-for-bit."""
+    from simseg_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.default_rng(3)
+    b, t, h, hd = 1, 1024, 2, 64  # inside the flash_train_supported band
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, t, h * hd)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+        for _ in range(3)
+    )
+
+    def loss(train):
+        def f(q, k, v):
+            out = multi_head_attention(q, k, v, h, dtype=jnp.bfloat16,
+                                       training=train)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    g0 = jax.jit(jax.grad(loss(False), argnums=(0, 1, 2)))(q, k, v)
+    g1 = jax.jit(jax.grad(loss(True), argnums=(0, 1, 2)))(q, k, v)
+    for a, b_ in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b_, np.float32))
+
+
 def test_supported_gating():
     bf16, f32 = jnp.bfloat16, jnp.float32
     # the gate is purely static (shape/dtype); TPU-vs-other routing happens
@@ -118,8 +196,10 @@ def test_vit_block_equivalence_through_kernel():
 
     orig = vitmod.multi_head_attention
 
-    def patched(q, k, v, h, attention_bias=None, dtype=jnp.float32):
-        return orig(q, k, v, h, attention_bias, dtype, use_flash="interpret")
+    def patched(q, k, v, h, attention_bias=None, dtype=jnp.float32,
+                training=False):
+        return orig(q, k, v, h, attention_bias, dtype,
+                    use_flash="interpret", training=training)
 
     vitmod.multi_head_attention = patched
     try:
