@@ -109,8 +109,8 @@ def multi_head_attention(
         # (the kernel has no bias input — a biased call must use the einsum
         # path regardless of mode, or padding masks would be dropped)
         from simseg_tpu.ops.flash_attention import (
-            flash_mha, flash_mha_train, flash_supported,
-            flash_train_supported)
+            flash_mha, flash_mha_stream, flash_mha_train, flash_supported,
+            flash_stream_supported, flash_train_supported)
 
         if use_flash == "interpret":
             out = (flash_mha_train if training else flash_mha)(qh, kh, vh,
@@ -121,6 +121,17 @@ def multi_head_attention(
             out = jax.lax.platform_dependent(
                 qh, kh, vh,
                 tpu=lambda a, b_, c: flash_mha_train(a, b_, c, False)
+                .astype(dtype),
+                default=einsum_attn,
+            )
+            return out.reshape(b, tq, d)
+        if flash_stream_supported(tq, tk, hd, dtype, attention_bias):
+            # past the whole-T kernels' VMEM ceiling: the streaming kernel,
+            # whose custom_vjp also streams the backward — correct in both
+            # inference and differentiated regions
+            out = jax.lax.platform_dependent(
+                qh, kh, vh,
+                tpu=lambda a, b_, c: flash_mha_stream(a, b_, c)
                 .astype(dtype),
                 default=einsum_attn,
             )

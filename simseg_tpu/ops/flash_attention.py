@@ -221,6 +221,302 @@ def _flash_train_bwd(interpret, res, g):
 flash_mha_train.defvjp(_flash_train_fwd, _flash_train_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Streaming (tiled, online-softmax) kernels: unbounded sequence length.
+#
+# The whole-T kernels above hold one (T, T) score tile in VMEM and so cap at
+# _MAX_T = 1536. Past that, these row/column-tiled kernels stream k/v tiles
+# through VMEM with the classic online-softmax recurrence (running max m and
+# normalizer l, lane-replicated (TQ, 128) stats — the canonical Mosaic
+# layout); the (T, T) scores never exist anywhere, in either pass. The
+# backward is the two-kernel FlashAttention-2 split: a dq kernel (q rows
+# resident, k/v streamed) and a dk/dv kernel (k/v resident, q streamed),
+# both recomputing probabilities from the forward's saved per-row logsumexp.
+# The delta term rowsum(dO * o) is recomputed in-kernel from the o/g tiles
+# (hd-wide reduction, negligible next to the (TQ, TK, hd) matmuls) instead
+# of being precomputed and plumbed through HBM.
+# ---------------------------------------------------------------------------
+
+_TILE_STREAM = 512  # q and k tile rows; s tile = 1 MiB f32, well under VMEM
+_LANES = 128
+
+
+def _pad_t(x, t_pad):
+    b, t, hd = x.shape
+    if t == t_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+
+def _stream_fwd_kernel(t_k, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       acc_ref, m_ref, l_ref):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TQ, TK)
+    # mask padded key columns (padded QUERY rows need no mask: their outputs
+    # are sliced off, and the backward's g rows there are zero)
+    kidx = ik * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kidx < t_k, s, -jnp.inf)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    e = jnp.exp(s - m_cur)
+    alpha = jnp.exp(m_prev - m_cur)  # 0 on the first tile (m_prev = -inf)
+    l_cur = l_prev * alpha + jnp.sum(e, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = jnp.broadcast_to(m_cur, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_cur, l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(
+            m_ref[:, :1] + jnp.log(l_ref[:, :1]), lse_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _mha_stream_fwd(qh, kh, vh, interpret=False, tile=_TILE_STREAM):
+    """qh/kh/vh: (B, T, H, hd), q pre-scaled. Returns ((B, Tq, H, hd) out,
+    (B*H, Tq_pad, 128) lane-replicated per-row logsumexp for backward)."""
+    b, tq, h, hd = qh.shape
+    tk = kh.shape[1]
+    tq_p = pl.cdiv(tq, tile) * tile
+    tk_p = pl.cdiv(tk, tile) * tile
+
+    def fold(x, t, t_pad):
+        return _pad_t(
+            jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, hd), t_pad)
+
+    def spec(r, idx):
+        return pl.BlockSpec((1, tile, r), idx, memory_space=pltpu.VMEM)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_stream_fwd_kernel, tk),
+        grid=(b * h, tq_p // tile, tk_p // tile),
+        in_specs=[
+            spec(hd, lambda bh, i, j: (bh, i, 0)),
+            spec(hd, lambda bh, i, j: (bh, j, 0)),
+            spec(hd, lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=[
+            spec(hd, lambda bh, i, j: (bh, i, 0)),
+            spec(_LANES, lambda bh, i, j: (bh, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq_p, hd), qh.dtype),
+            jax.ShapeDtypeStruct((b * h, tq_p, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, hd), jnp.float32),
+            pltpu.VMEM((tile, _LANES), jnp.float32),
+            pltpu.VMEM((tile, _LANES), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq_p * tk_p * hd,
+            bytes_accessed=(2 * b * tq * h * hd + 2 * b * tk * h * hd)
+            * qh.dtype.itemsize,
+            transcendentals=b * h * tq_p * tk_p,
+        ),
+        interpret=interpret,
+    )(fold(qh, tq, tq_p), fold(kh, tk, tk_p), fold(vh, tk, tk_p))
+    out = jnp.transpose(out[:, :tq].reshape(b, h, tq, hd), (0, 2, 1, 3))
+    return out, lse
+
+
+def _stream_dq_kernel(t_k, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                      dq_ref, dq_acc):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    kidx = ik * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kidx < t_k, s, -jnp.inf)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # normalized probabilities
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    delta = jnp.sum(g.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dq_acc[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _stream_dkdv_kernel(t_k, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                        dk_ref, dv_ref, dk_acc, dv_acc):
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ik = pl.program_id(1)
+    kidx = ik * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kidx < t_k, s, -jnp.inf)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    pc = p.astype(g.dtype)
+    dv_acc[...] += jax.lax.dot_general(
+        pc, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    delta = jnp.sum(g.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _mha_stream_bwd(qh, kh, vh, out, g, lse, interpret=False,
+                    tile=_TILE_STREAM):
+    """Streamed FlashAttention-2-style backward. qh/kh/vh/out/g:
+    (B, T, H, hd) (out = the forward's output, for the in-kernel delta
+    term); lse: the forward's (B*H, Tq_pad, 128) saved logsumexp. Returns
+    (dq, dk, dv) in the input layout."""
+    b, tq, h, hd = qh.shape
+    tk = kh.shape[1]
+    tq_p = pl.cdiv(tq, tile) * tile
+    tk_p = pl.cdiv(tk, tile) * tile
+
+    def fold(x, t, t_pad):
+        return _pad_t(
+            jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, hd), t_pad)
+
+    qf = fold(qh, tq, tq_p)
+    kf = fold(kh, tk, tk_p)
+    vf = fold(vh, tk, tk_p)
+    # padded g rows are EXACT zeros: they null the padded queries'
+    # contributions to dk/dv (every term carries a g factor), so no q-row
+    # masking is needed in either kernel
+    gf = fold(g, tq, tq_p)
+    of = fold(out, tq, tq_p)
+
+    def spec(r, idx):
+        return pl.BlockSpec((1, tile, r), idx, memory_space=pltpu.VMEM)
+
+    q_of = lambda bh, i, j: (bh, i, 0)  # noqa: E731
+    k_of = lambda bh, i, j: (bh, j, 0)  # noqa: E731
+
+    dq = pl.pallas_call(
+        functools.partial(_stream_dq_kernel, tk),
+        grid=(b * h, tq_p // tile, tk_p // tile),
+        in_specs=[
+            spec(hd, q_of), spec(hd, k_of), spec(hd, k_of),
+            spec(hd, q_of), spec(hd, q_of), spec(_LANES, q_of),
+        ],
+        out_specs=spec(hd, q_of),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, hd), qh.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, hd), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * tq_p * tk_p * hd,
+            bytes_accessed=(5 * b * tq * h * hd + 2 * b * tk * h * hd)
+            * qh.dtype.itemsize,
+            transcendentals=b * h * tq_p * tk_p,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, of, lse)
+
+    # k/v resident, q streamed: grid dim 1 walks k tiles, innermost dim 2
+    # walks q tiles so the dk/dv accumulators persist across the q sweep
+    kq_q = lambda bh, j, i: (bh, i, 0)  # noqa: E731
+    kq_k = lambda bh, j, i: (bh, j, 0)  # noqa: E731
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_stream_dkdv_kernel, tk),
+        grid=(b * h, tk_p // tile, tq_p // tile),
+        in_specs=[
+            spec(hd, kq_q), spec(hd, kq_k), spec(hd, kq_k),
+            spec(hd, kq_q), spec(hd, kq_q), spec(_LANES, kq_q),
+        ],
+        out_specs=[spec(hd, kq_k), spec(hd, kq_k)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tk_p, hd), kh.dtype),
+            jax.ShapeDtypeStruct((b * h, tk_p, hd), vh.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, hd), jnp.float32),
+            pltpu.VMEM((tile, hd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * tq_p * tk_p * hd,
+            bytes_accessed=(4 * b * tq * h * hd + 4 * b * tk * h * hd)
+            * qh.dtype.itemsize,
+            transcendentals=b * h * tq_p * tk_p,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, of, lse)
+
+    def unfold(x, t):
+        return jnp.transpose(x[:, :t].reshape(b, h, t, hd), (0, 2, 1, 3))
+
+    return unfold(dq, tq), unfold(dk, tk), unfold(dv, tk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_mha_stream(qh, kh, vh, interpret=False, tile=_TILE_STREAM):
+    """Streaming fused attention on (B, T, H, hd) inputs (q pre-scaled):
+    online-softmax forward, FlashAttention-2-style two-kernel backward.
+    No sequence-length cap — use past ``_MAX_T`` where the whole-T kernels
+    above cannot lower."""
+    out, _ = _mha_stream_fwd(qh, kh, vh, interpret=interpret, tile=tile)
+    return out
+
+
+def _stream_vjp_fwd(qh, kh, vh, interpret, tile):
+    out, lse = _mha_stream_fwd(qh, kh, vh, interpret=interpret, tile=tile)
+    return out, (qh, kh, vh, out, lse)
+
+
+def _stream_vjp_bwd(interpret, tile, res, g):
+    qh, kh, vh, out, lse = res
+    return _mha_stream_bwd(qh, kh, vh, out, g.astype(qh.dtype), lse,
+                           interpret=interpret, tile=tile)
+
+
+flash_mha_stream.defvjp(_stream_vjp_fwd, _stream_vjp_bwd)
+
+
 def flash_train_supported(b: int, h: int, tq: int, tk: int, hd: int,
                           dtype, attention_bias) -> bool:
     """Gate for ``flash_mha_train`` (fused fwd+bwd) under autodiff: the
@@ -270,3 +566,19 @@ def flash_supported(tq: int, tk: int, hd: int, dtype,
     if hd % 64 != 0 or hd > 256:
         return False
     return True
+
+
+def flash_stream_supported(tq: int, tk: int, hd: int, dtype,
+                           attention_bias) -> bool:
+    """Gate for ``flash_mha_stream``: sequences past the whole-T kernels'
+    VMEM ceiling (``_MAX_T``), where the einsum path must materialize the
+    (B, H, T, T) scores in HBM and the whole-T kernels cannot lower.
+    Applies to both inference and differentiated regions (its custom_vjp
+    streams the backward too)."""
+    if attention_bias is not None or dtype == jnp.float32:
+        return False
+    if hd % 64 != 0 or hd > 256:
+        return False
+    if tq != tk:
+        return False  # self-attention towers only
+    return tq > _MAX_T

@@ -81,8 +81,8 @@ def test_train_bwd_kernel_matches_einsum_vjp():
 
 
 def test_train_supported_gating():
-    """flash_train_supported: measured fwd+bwd economics (v5e) — small
-    program counts win at mid T, big ones don't; long T always wins."""
+    """flash_train_supported: measured fwd+bwd economics (v5e) — only the
+    long-T band wins end-to-end; mid T loses to XLA fusion (see gate)."""
     from simseg_tpu.ops.flash_attention import flash_train_supported
 
     bf16, f32 = jnp.bfloat16, jnp.float32
@@ -124,6 +124,85 @@ def test_train_routing_grads_flow():
     for a, b_ in zip(g0, g1):
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b_, np.float32))
+
+
+def test_stream_fwd_matches_einsum():
+    """Streaming (online-softmax) forward equals the einsum path, including
+    the ragged-T padding path (T=300 with tile=128 -> padded to 384)."""
+    from simseg_tpu.ops.flash_attention import _mha_stream_fwd, _reference_mha
+
+    rng = np.random.default_rng(0)
+    b, t, h, hd = 1, 300, 2, 64
+    for dt, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 0.08)):
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(b, t, h, hd)).astype(np.float32),
+                        dtype=dt)
+            for _ in range(3)
+        )
+        ref = _reference_mha(q, k, v).astype(jnp.float32)
+        out, lse = _mha_stream_fwd(q, k, v, interpret=True, tile=128)
+        assert out.shape == (b, t, h, hd)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), atol=atol, rtol=0.02)
+        # the saved logsumexp is finite and lane-replicated
+        assert lse.shape == (b * h, 384, 128)
+        l0 = np.asarray(lse[:, :t, :])
+        np.testing.assert_allclose(
+            l0, np.broadcast_to(l0[..., :1], l0.shape), rtol=0, atol=0)
+        assert np.isfinite(l0).all()
+
+
+def test_stream_grads_match_einsum_vjp():
+    """flash_mha_stream's two-kernel FlashAttention-2-style backward
+    reproduces the einsum-path VJP through the padding path."""
+    from simseg_tpu.ops.flash_attention import _reference_mha, flash_mha_stream
+
+    rng = np.random.default_rng(1)
+    b, t, h, hd = 1, 300, 2, 64
+    for dt, atol in ((jnp.float32, 5e-4), (jnp.bfloat16, 0.3)):
+        q, k, v, g = (
+            jnp.asarray(rng.normal(size=(b, t, h, hd)).astype(np.float32),
+                        dtype=dt)
+            for _ in range(4)
+        )
+
+        def f_ref(q, k, v):
+            return jnp.sum(_reference_mha(q, k, v).astype(jnp.float32)
+                           * g.astype(jnp.float32))
+
+        def f_st(q, k, v):
+            return jnp.sum(flash_mha_stream(q, k, v, True, 128)
+                           .astype(jnp.float32) * g.astype(jnp.float32))
+
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        g_st = jax.grad(f_st, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_ref, g_st):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                atol=atol, rtol=0.02,
+            )
+
+
+def test_stream_supported_gating():
+    """flash_stream_supported: only past the whole-T kernels' VMEM ceiling;
+    same bias/dtype/lane constraints; self-attention only."""
+    from simseg_tpu.ops.flash_attention import (_MAX_T, flash_stream_supported,
+                                                flash_supported)
+
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    assert flash_stream_supported(2048, 2048, 64, bf16, None)
+    assert flash_stream_supported(4096, 4096, 128, bf16, None)
+    # inside the whole-T band the resident kernel owns it
+    assert not flash_stream_supported(1297, 1297, 64, bf16, None)
+    assert flash_supported(1297, 1297, 64, bf16, None)
+    # boundary: exactly _MAX_T stays whole-T; _MAX_T+1 streams
+    assert not flash_stream_supported(_MAX_T, _MAX_T, 64, bf16, None)
+    assert flash_stream_supported(_MAX_T + 1, _MAX_T + 1, 64, bf16, None)
+    assert not flash_supported(_MAX_T + 1, _MAX_T + 1, 64, bf16, None)
+    assert not flash_stream_supported(2048, 2048, 64, f32, None)
+    assert not flash_stream_supported(2048, 2048, 64, bf16, 0.0)
+    assert not flash_stream_supported(2048, 1024, 64, bf16, None)
+    assert not flash_stream_supported(2048, 2048, 48, bf16, None)
 
 
 def test_supported_gating():
