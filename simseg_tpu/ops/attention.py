@@ -113,8 +113,15 @@ def multi_head_attention(
             flash_stream_supported, flash_train_supported)
 
         if use_flash == "interpret":
-            out = (flash_mha_train if training else flash_mha)(qh, kh, vh,
-                                                               True)
+            # mirror the 'auto' kernel choice so interpret mode validates
+            # the kernel the TPU would actually run at this shape
+            if flash_stream_supported(tq, tk, hd, dtype, attention_bias):
+                kernel = flash_mha_stream
+            elif training:
+                kernel = flash_mha_train
+            else:
+                kernel = flash_mha
+            out = kernel(qh, kh, vh, True)
             return out.reshape(b, tq, d).astype(dtype)
         if training and flash_train_supported(b, num_heads, tq, tk, hd,
                                               dtype, attention_bias):

@@ -232,13 +232,24 @@ flash_mha_train.defvjp(_flash_train_fwd, _flash_train_bwd)
 # backward is the two-kernel FlashAttention-2 split: a dq kernel (q rows
 # resident, k/v streamed) and a dk/dv kernel (k/v resident, q streamed),
 # both recomputing probabilities from the forward's saved per-row logsumexp.
+# The lse residual is stored compactly as one f32 per query row —
+# (B*H, 1, Tq)
+# with q on the LANE axis — not lane-replicated in HBM; the (q-on-sublanes)
+# column layout the backward's broadcasts need is rebuilt in-kernel (a
+# (tile,)-element relayout per grid cell, noise next to the tile matmuls).
 # The delta term rowsum(dO * o) is recomputed in-kernel from the o/g tiles
 # (hd-wide reduction, negligible next to the (TQ, TK, hd) matmuls) instead
 # of being precomputed and plumbed through HBM.
 # ---------------------------------------------------------------------------
 
 _TILE_STREAM = 512  # q and k tile rows; s tile = 1 MiB f32, well under VMEM
-_LANES = 128
+
+# grid dims (bh, resident-tile, streamed-tile): bh and the resident tile are
+# independent (each owns disjoint output blocks; scratch accumulators are
+# re-zeroed when the streamed index wraps to 0), so megacore parts may split
+# them across tensorcores; only the streamed sweep carries state
+_STREAM_SEMANTICS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel", "arbitrary"))
 
 
 def _pad_t(x, t_pad):
@@ -248,8 +259,32 @@ def _pad_t(x, t_pad):
     return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
 
 
-def _stream_fwd_kernel(t_k, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                       acc_ref, m_ref, l_ref):
+def _stream_fold(x, b, h, hd, t, t_pad):
+    """(B, T, H, hd) -> (B*H, T_pad, hd), shared by both passes so their
+    layouts cannot drift apart."""
+    return _pad_t(jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, hd), t_pad)
+
+
+def _stream_unfold(x, b, h, hd, t):
+    return jnp.transpose(x[:, :t].reshape(b, h, t, hd), (0, 2, 1, 3))
+
+
+def _stream_spec(tile, r, idx):
+    return pl.BlockSpec((1, tile, r), idx, memory_space=pltpu.VMEM)
+
+
+def _lse_spec(tile, idx):
+    # (B*H, 1, Tq_pad) with q rows on the lane axis — the unit middle dim
+    # satisfies Mosaic's block-tiling rule (second-to-last block dim must be
+    # 8-divisible or equal the array dim); one (1, 1, tile) row per block
+    return pl.BlockSpec((1, 1, tile), idx, memory_space=pltpu.VMEM)
+
+
+def _stream_fwd_kernel(t_k, need_lse, q_ref, k_ref, v_ref, o_ref, *rest):
+    if need_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -270,8 +305,8 @@ def _stream_fwd_kernel(t_k, q_ref, k_ref, v_ref, o_ref, lse_ref,
     kidx = ik * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(kidx < t_k, s, -jnp.inf)
 
-    m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     e = jnp.exp(s - m_cur)
     alpha = jnp.exp(m_prev - m_cur)  # 0 on the first tile (m_prev = -inf)
@@ -280,53 +315,55 @@ def _stream_fwd_kernel(t_k, q_ref, k_ref, v_ref, o_ref, lse_ref,
         e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    m_ref[...] = jnp.broadcast_to(m_cur, m_ref.shape)
-    l_ref[...] = jnp.broadcast_to(l_cur, l_ref.shape)
+    m_ref[...] = m_cur
+    l_ref[...] = l_cur
 
     @pl.when(ik == nk - 1)
     def _():
-        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
-        lse_ref[0] = jnp.broadcast_to(
-            m_ref[:, :1] + jnp.log(l_ref[:, :1]), lse_ref.shape[1:])
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        if need_lse:
+            # (tile, 1) column -> (tile,) lane vector relayout, once per
+            # q tile
+            lse_ref[0, 0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
-def _mha_stream_fwd(qh, kh, vh, interpret=False, tile=_TILE_STREAM):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "need_lse"))
+def _mha_stream_fwd(qh, kh, vh, interpret=False, tile=_TILE_STREAM,
+                    need_lse=True):
     """qh/kh/vh: (B, T, H, hd), q pre-scaled. Returns ((B, Tq, H, hd) out,
-    (B*H, Tq_pad, 128) lane-replicated per-row logsumexp for backward)."""
+    (B*H, 1, Tq_pad) per-row logsumexp for backward — None when
+    ``need_lse=False``, the inference path, which skips computing/writing
+    it entirely)."""
     b, tq, h, hd = qh.shape
     tk = kh.shape[1]
     tq_p = pl.cdiv(tq, tile) * tile
     tk_p = pl.cdiv(tk, tile) * tile
 
-    def fold(x, t, t_pad):
-        return _pad_t(
-            jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, hd), t_pad)
+    spec = functools.partial(_stream_spec, tile)
+    out_specs = [spec(hd, lambda bh, i, j: (bh, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b * h, tq_p, hd), qh.dtype)]
+    if need_lse:
+        out_specs.append(_lse_spec(tile, lambda bh, i, j: (bh, 0, i)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b * h, 1, tq_p), jnp.float32))
 
-    def spec(r, idx):
-        return pl.BlockSpec((1, tile, r), idx, memory_space=pltpu.VMEM)
-
-    out, lse = pl.pallas_call(
-        functools.partial(_stream_fwd_kernel, tk),
+    res = pl.pallas_call(
+        functools.partial(_stream_fwd_kernel, tk, need_lse),
         grid=(b * h, tq_p // tile, tk_p // tile),
         in_specs=[
             spec(hd, lambda bh, i, j: (bh, i, 0)),
             spec(hd, lambda bh, i, j: (bh, j, 0)),
             spec(hd, lambda bh, i, j: (bh, j, 0)),
         ],
-        out_specs=[
-            spec(hd, lambda bh, i, j: (bh, i, 0)),
-            spec(_LANES, lambda bh, i, j: (bh, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, tq_p, hd), qh.dtype),
-            jax.ShapeDtypeStruct((b * h, tq_p, _LANES), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tile, hd), jnp.float32),
-            pltpu.VMEM((tile, _LANES), jnp.float32),
-            pltpu.VMEM((tile, _LANES), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
         ],
+        compiler_params=_STREAM_SEMANTICS,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tq_p * tk_p * hd,
             bytes_accessed=(2 * b * tq * h * hd + 2 * b * tk * h * hd)
@@ -334,9 +371,11 @@ def _mha_stream_fwd(qh, kh, vh, interpret=False, tile=_TILE_STREAM):
             transcendentals=b * h * tq_p * tk_p,
         ),
         interpret=interpret,
-    )(fold(qh, tq, tq_p), fold(kh, tk, tk_p), fold(vh, tk, tk_p))
-    out = jnp.transpose(out[:, :tq].reshape(b, h, tq, hd), (0, 2, 1, 3))
-    return out, lse
+    )(_stream_fold(qh, b, h, hd, tq, tq_p),
+      _stream_fold(kh, b, h, hd, tk, tk_p),
+      _stream_fold(vh, b, h, hd, tk, tk_p))
+    out, lse = res if need_lse else (res[0], None)
+    return _stream_unfold(out, b, h, hd, tq), lse
 
 
 def _stream_dq_kernel(t_k, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
@@ -356,7 +395,8 @@ def _stream_dq_kernel(t_k, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     kidx = ik * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(kidx < t_k, s, -jnp.inf)
-    p = jnp.exp(s - lse_ref[0][:, :1])  # normalized probabilities
+    # lane vector -> (TQ, 1) column relayout, then normalized probabilities
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     delta = jnp.sum(g.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
@@ -389,7 +429,7 @@ def _stream_dkdv_kernel(t_k, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
     ik = pl.program_id(1)
     kidx = ik * s.shape[1] + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(kidx < t_k, s, -jnp.inf)
-    p = jnp.exp(s - lse_ref[0][:, :1])
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
     pc = p.astype(g.dtype)
     dv_acc[...] += jax.lax.dot_general(
         pc, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -412,28 +452,24 @@ def _mha_stream_bwd(qh, kh, vh, out, g, lse, interpret=False,
                     tile=_TILE_STREAM):
     """Streamed FlashAttention-2-style backward. qh/kh/vh/out/g:
     (B, T, H, hd) (out = the forward's output, for the in-kernel delta
-    term); lse: the forward's (B*H, Tq_pad, 128) saved logsumexp. Returns
+    term); lse: the forward's (B*H, 1, Tq_pad) saved logsumexp. Returns
     (dq, dk, dv) in the input layout."""
     b, tq, h, hd = qh.shape
     tk = kh.shape[1]
     tq_p = pl.cdiv(tq, tile) * tile
     tk_p = pl.cdiv(tk, tile) * tile
 
-    def fold(x, t, t_pad):
-        return _pad_t(
-            jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, hd), t_pad)
-
-    qf = fold(qh, tq, tq_p)
-    kf = fold(kh, tk, tk_p)
-    vf = fold(vh, tk, tk_p)
+    fold = functools.partial(_stream_fold, b=b, h=h, hd=hd)
+    qf = fold(qh, t=tq, t_pad=tq_p)
+    kf = fold(kh, t=tk, t_pad=tk_p)
+    vf = fold(vh, t=tk, t_pad=tk_p)
     # padded g rows are EXACT zeros: they null the padded queries'
     # contributions to dk/dv (every term carries a g factor), so no q-row
     # masking is needed in either kernel
-    gf = fold(g, tq, tq_p)
-    of = fold(out, tq, tq_p)
+    gf = fold(g, t=tq, t_pad=tq_p)
+    of = fold(out, t=tq, t_pad=tq_p)
 
-    def spec(r, idx):
-        return pl.BlockSpec((1, tile, r), idx, memory_space=pltpu.VMEM)
+    spec = functools.partial(_stream_spec, tile)
 
     q_of = lambda bh, i, j: (bh, i, 0)  # noqa: E731
     k_of = lambda bh, i, j: (bh, j, 0)  # noqa: E731
@@ -443,11 +479,13 @@ def _mha_stream_bwd(qh, kh, vh, out, g, lse, interpret=False,
         grid=(b * h, tq_p // tile, tk_p // tile),
         in_specs=[
             spec(hd, q_of), spec(hd, k_of), spec(hd, k_of),
-            spec(hd, q_of), spec(hd, q_of), spec(_LANES, q_of),
+            spec(hd, q_of), spec(hd, q_of),
+            _lse_spec(tile, lambda bh, i, j: (bh, 0, i)),
         ],
         out_specs=spec(hd, q_of),
         out_shape=jax.ShapeDtypeStruct((b * h, tq_p, hd), qh.dtype),
         scratch_shapes=[pltpu.VMEM((tile, hd), jnp.float32)],
+        compiler_params=_STREAM_SEMANTICS,
         cost_estimate=pl.CostEstimate(
             flops=6 * b * h * tq_p * tk_p * hd,
             bytes_accessed=(5 * b * tq * h * hd + 2 * b * tk * h * hd)
@@ -467,7 +505,8 @@ def _mha_stream_bwd(qh, kh, vh, out, g, lse, interpret=False,
         grid=(b * h, tk_p // tile, tq_p // tile),
         in_specs=[
             spec(hd, kq_q), spec(hd, kq_k), spec(hd, kq_k),
-            spec(hd, kq_q), spec(hd, kq_q), spec(_LANES, kq_q),
+            spec(hd, kq_q), spec(hd, kq_q),
+            _lse_spec(tile, lambda bh, j, i: (bh, 0, i)),
         ],
         out_specs=[spec(hd, kq_k), spec(hd, kq_k)],
         out_shape=[
@@ -478,6 +517,7 @@ def _mha_stream_bwd(qh, kh, vh, out, g, lse, interpret=False,
             pltpu.VMEM((tile, hd), jnp.float32),
             pltpu.VMEM((tile, hd), jnp.float32),
         ],
+        compiler_params=_STREAM_SEMANTICS,
         cost_estimate=pl.CostEstimate(
             flops=8 * b * h * tq_p * tk_p * hd,
             bytes_accessed=(4 * b * tq * h * hd + 4 * b * tk * h * hd)
@@ -487,10 +527,9 @@ def _mha_stream_bwd(qh, kh, vh, out, g, lse, interpret=False,
         interpret=interpret,
     )(qf, kf, vf, gf, of, lse)
 
-    def unfold(x, t):
-        return jnp.transpose(x[:, :t].reshape(b, h, t, hd), (0, 2, 1, 3))
-
-    return unfold(dq, tq), unfold(dk, tk), unfold(dv, tk)
+    return (_stream_unfold(dq, b, h, hd, tq),
+            _stream_unfold(dk, b, h, hd, tk),
+            _stream_unfold(dv, b, h, hd, tk))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -498,8 +537,10 @@ def flash_mha_stream(qh, kh, vh, interpret=False, tile=_TILE_STREAM):
     """Streaming fused attention on (B, T, H, hd) inputs (q pre-scaled):
     online-softmax forward, FlashAttention-2-style two-kernel backward.
     No sequence-length cap — use past ``_MAX_T`` where the whole-T kernels
-    above cannot lower."""
-    out, _ = _mha_stream_fwd(qh, kh, vh, interpret=interpret, tile=tile)
+    above cannot lower. The primal (non-differentiated) path skips
+    computing and writing the logsumexp residual entirely."""
+    out, _ = _mha_stream_fwd(qh, kh, vh, interpret=interpret, tile=tile,
+                             need_lse=False)
     return out
 
 

@@ -144,12 +144,20 @@ def test_stream_fwd_matches_einsum():
         assert out.shape == (b, t, h, hd)
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref), atol=atol, rtol=0.02)
-        # the saved logsumexp is finite and lane-replicated
-        assert lse.shape == (b * h, 384, 128)
-        l0 = np.asarray(lse[:, :t, :])
-        np.testing.assert_allclose(
-            l0, np.broadcast_to(l0[..., :1], l0.shape), rtol=0, atol=0)
-        assert np.isfinite(l0).all()
+        # the saved per-row logsumexp (compact (B*H, 1, Tq_pad) layout)
+        # matches an f32 einsum rederivation
+        assert lse.shape == (b * h, 1, 384)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32)
+        ref_lse = np.asarray(
+            jax.nn.logsumexp(s, axis=-1).reshape(b * h, t))
+        np.testing.assert_allclose(np.asarray(lse[:, 0, :t]), ref_lse,
+                                   atol=1e-4, rtol=1e-5)
+        # inference path: no lse computed at all
+        out2, no_lse = _mha_stream_fwd(q, k, v, interpret=True, tile=128,
+                                       need_lse=False)
+        assert no_lse is None
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
 
 
 def test_stream_grads_match_einsum_vjp():
@@ -181,6 +189,36 @@ def test_stream_grads_match_einsum_vjp():
                 np.asarray(a, np.float32), np.asarray(b_, np.float32),
                 atol=atol, rtol=0.02,
             )
+
+
+def test_stream_routing_grads_flow():
+    """multi_head_attention at T past the whole-T ceiling differentiates
+    through the platform_dependent stream routing (tracing visits the
+    stream custom_vjp even when CPU lowering resolves to einsum); on CPU
+    grads equal the use_flash='never' einsum path bit-for-bit."""
+    from simseg_tpu.ops.attention import multi_head_attention
+    from simseg_tpu.ops.flash_attention import _MAX_T
+
+    rng = np.random.default_rng(4)
+    b, t, h, hd = 1, _MAX_T + 64, 1, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, t, h * hd)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+        for _ in range(3)
+    )
+
+    def loss(mode):
+        def f(q, k, v):
+            out = multi_head_attention(q, k, v, h, dtype=jnp.bfloat16,
+                                       use_flash=mode)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    g0 = jax.jit(jax.grad(loss("never"), argnums=(0, 1, 2)))(q, k, v)
+    g1 = jax.jit(jax.grad(loss("auto"), argnums=(0, 1, 2)))(q, k, v)
+    for a, b_ in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b_, np.float32))
 
 
 def test_stream_supported_gating():
