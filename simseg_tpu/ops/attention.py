@@ -109,13 +109,17 @@ def multi_head_attention(
         # (the kernel has no bias input — a biased call must use the einsum
         # path regardless of mode, or padding masks would be dropped)
         from simseg_tpu.ops.flash_attention import (
-            flash_mha, flash_mha_stream, flash_mha_train, flash_supported,
+            flash_mha, flash_mha_rowblock, flash_mha_stream, flash_mha_train,
+            flash_rowblock_supported, flash_supported,
             flash_stream_supported, flash_train_supported)
 
         if use_flash == "interpret":
             # mirror the 'auto' kernel choice so interpret mode validates
             # the kernel the TPU would actually run at this shape
-            if flash_stream_supported(tq, tk, hd, dtype, attention_bias):
+            if flash_rowblock_supported(tq, tk, hd, dtype, attention_bias,
+                                        training):
+                kernel = flash_mha_rowblock
+            elif flash_stream_supported(tq, tk, hd, dtype, attention_bias):
                 kernel = flash_mha_stream
             elif training:
                 kernel = flash_mha_train
@@ -132,10 +136,21 @@ def multi_head_attention(
                 default=einsum_attn,
             )
             return out.reshape(b, tq, d)
+        if flash_rowblock_supported(tq, tk, hd, dtype, attention_bias,
+                                    training):
+            # past the whole-T kernels' VMEM ceiling but k/v still fit
+            # VMEM whole: q-tiled exact-softmax kernel, correct in both
+            # inference and differentiated regions (split custom_vjp)
+            out = jax.lax.platform_dependent(
+                qh, kh, vh,
+                tpu=lambda a, b_, c: flash_mha_rowblock(a, b_, c)
+                .astype(dtype),
+                default=einsum_attn,
+            )
+            return out.reshape(b, tq, d)
         if flash_stream_supported(tq, tk, hd, dtype, attention_bias):
-            # past the whole-T kernels' VMEM ceiling: the streaming kernel,
-            # whose custom_vjp also streams the backward — correct in both
-            # inference and differentiated regions
+            # the unbounded tail: online-softmax streaming kernel, whose
+            # custom_vjp also streams the backward
             out = jax.lax.platform_dependent(
                 qh, kh, vh,
                 tpu=lambda a, b_, c: flash_mha_stream(a, b_, c)

@@ -558,6 +558,257 @@ def _stream_vjp_bwd(interpret, tile, res, g):
 flash_mha_stream.defvjp(_stream_vjp_fwd, _stream_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Row-block kernels: q tiled, k/v whole-T resident. The mid-long band
+# (_MAX_T < T <= _ROWBLOCK_MAX_T).
+#
+# Past _MAX_T the (T, T) score tile no longer fits VMEM, but k/v themselves
+# (2*T*hd bf16 — 0.5 MiB at T=2048) still do, comfortably. So instead of
+# the online-softmax recurrence, tile only the QUERY rows: each grid cell
+# computes an exact softmax over its (tile_q, T) score block in one shot —
+# the same math as the whole-T kernel, just on a row slab. Versus the
+# streaming kernels this does no m/l bookkeeping, no k-side padding or
+# masking (k rides at its exact length), and its second matmul contracts
+# over the full T (deep MXU contraction instead of tile_k=512-deep). The
+# backward splits like FlashAttention-2 — a dq kernel (q/g/o tiled, k/v
+# resident) and a dk/dv kernel (k/v tiled, q/g/o resident) — with
+# probabilities rebuilt from the forward's saved per-row logsumexp
+# (same compact (B*H, 1, Tq) layout as the streaming pass).
+#
+# Padding analysis (q padded to the tile multiple, k exact): padded q rows
+# see the real k, so their softmax/lse stay finite; their outputs are
+# sliced off, their g rows are exact zeros, so dv/dk see p*0 and
+# ds = p*(0-0) = 0 — no masking needed anywhere. In the dk/dv kernel k/v
+# ARE padded to the k tile; the resulting junk dk/dv rows are sliced off.
+# ---------------------------------------------------------------------------
+
+# past this, the (tile_q, T) f32 score slab would force tile_q < 128;
+# hand off to the streaming kernels instead
+_ROWBLOCK_MAX_T = 4096
+
+
+def _rowblock_tile(t: int) -> int:
+    """Largest q-tile keeping the (tile, T) f32 score slab ≤ ~6 MiB (the
+    whole-T kernel's measured-safe VMEM footprint at T=1536 is 9.4 MiB,
+    and the backward holds two slabs)."""
+    for tile in (512, 256, 128):
+        if tile * t * 4 <= 6 * 1024 * 1024:
+            return tile
+    return 128
+
+
+# grid (bh, tile): every cell owns disjoint output blocks — fully parallel
+_ROWBLOCK_SEMANTICS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel"))
+
+
+def _full_spec(t, r):
+    return pl.BlockSpec((1, t, r), lambda bh, i: (bh, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _row_spec(tile, r):
+    return pl.BlockSpec((1, tile, r), lambda bh, i: (bh, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rowblock_fwd_kernel(need_lse, q_ref, k_ref, v_ref, o_ref, *rest):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (tile_q, T) — exact full-row softmax, no recurrence
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        (e / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+    if need_lse:
+        lse_ref = rest[0]
+        lse_ref[0, 0] = m[:, 0] + jnp.log(l[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "need_lse"))
+def _mha_rowblock_fwd(qh, kh, vh, interpret=False, need_lse=True):
+    """qh/kh/vh: (B, T, H, hd), q pre-scaled. Returns ((B, Tq, H, hd) out,
+    (B*H, 1, Tq_pad) per-row logsumexp — None when ``need_lse=False``)."""
+    b, tq, h, hd = qh.shape
+    tk = kh.shape[1]
+    tile = _rowblock_tile(tk)
+    tq_p = pl.cdiv(tq, tile) * tile
+
+    out_specs = [_row_spec(tile, hd)]
+    out_shape = [jax.ShapeDtypeStruct((b * h, tq_p, hd), qh.dtype)]
+    if need_lse:
+        out_specs.append(_lse_spec(tile, lambda bh, i: (bh, 0, i)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b * h, 1, tq_p), jnp.float32))
+
+    res = pl.pallas_call(
+        functools.partial(_rowblock_fwd_kernel, need_lse),
+        grid=(b * h, tq_p // tile),
+        in_specs=[_row_spec(tile, hd), _full_spec(tk, hd),
+                  _full_spec(tk, hd)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_ROWBLOCK_SEMANTICS,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq_p * tk * hd,
+            bytes_accessed=(2 * b * tq * h * hd + 2 * b * tk * h * hd)
+            * qh.dtype.itemsize,
+            transcendentals=b * h * tq_p * tk,
+        ),
+        interpret=interpret,
+    )(_stream_fold(qh, b, h, hd, tq, tq_p),
+      _stream_fold(kh, b, h, hd, tk, tk),
+      _stream_fold(vh, b, h, hd, tk, tk))
+    out, lse = res if need_lse else (res[0], None)
+    return _stream_unfold(out, b, h, hd, tq), lse
+
+
+def _rowblock_dq_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref, dq_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    delta = jnp.sum(g.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+
+def _rowblock_dkdv_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                          dk_ref, dv_ref):
+    # k/v tiled, q/g/o whole-T resident: the q contraction runs full-depth
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Tq_pad, tile_k)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    delta = jnp.sum(g.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mha_rowblock_bwd(qh, kh, vh, out, g, lse, interpret=False):
+    """Row-block backward: dq over q tiles (k/v resident), dk/dv over k
+    tiles (q/g/o resident). lse: the forward's (B*H, 1, Tq_pad)."""
+    b, tq, h, hd = qh.shape
+    tk = kh.shape[1]
+    tile = _rowblock_tile(tk)
+    tq_p = pl.cdiv(tq, tile) * tile
+    tk_p = pl.cdiv(tk, tile) * tile
+
+    fold = functools.partial(_stream_fold, b=b, h=h, hd=hd)
+    qf = fold(qh, t=tq, t_pad=tq_p)
+    kf = fold(kh, t=tk, t_pad=tk)  # exact length for the q-tiled kernels
+    vf = fold(vh, t=tk, t_pad=tk)
+    gf = fold(g, t=tq, t_pad=tq_p)  # padded g rows are exact zeros
+    of = fold(out, t=tq, t_pad=tq_p)
+
+    dq = pl.pallas_call(
+        _rowblock_dq_kernel,
+        grid=(b * h, tq_p // tile),
+        in_specs=[
+            _row_spec(tile, hd), _full_spec(tk, hd), _full_spec(tk, hd),
+            _row_spec(tile, hd), _row_spec(tile, hd),
+            _lse_spec(tile, lambda bh, i: (bh, 0, i)),
+        ],
+        out_specs=_row_spec(tile, hd),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, hd), qh.dtype),
+        compiler_params=_ROWBLOCK_SEMANTICS,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * tq_p * tk * hd,
+            bytes_accessed=(5 * b * tq * h * hd + 2 * b * tk * h * hd)
+            * qh.dtype.itemsize,
+            transcendentals=b * h * tq_p * tk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, of, lse)
+
+    # k/v tiled; q/g/o (and lse) ride whole-T — pad k/v to the tile
+    kfp = fold(kh, t=tk, t_pad=tk_p)
+    vfp = fold(vh, t=tk, t_pad=tk_p)
+    full_q = functools.partial(_full_spec, tq_p)
+
+    dk, dv = pl.pallas_call(
+        _rowblock_dkdv_kernel,
+        grid=(b * h, tk_p // tile),
+        in_specs=[
+            full_q(hd), _row_spec(tile, hd), _row_spec(tile, hd),
+            full_q(hd), full_q(hd),
+            pl.BlockSpec((1, 1, tq_p), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[_row_spec(tile, hd), _row_spec(tile, hd)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tk_p, hd), kh.dtype),
+            jax.ShapeDtypeStruct((b * h, tk_p, hd), vh.dtype),
+        ],
+        compiler_params=_ROWBLOCK_SEMANTICS,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * tq_p * tk * hd,
+            bytes_accessed=(4 * b * tq * h * hd + 4 * b * tk * h * hd)
+            * qh.dtype.itemsize,
+            transcendentals=b * h * tq_p * tk,
+        ),
+        interpret=interpret,
+    )(qf, kfp, vfp, gf, of, lse)
+
+    return (_stream_unfold(dq, b, h, hd, tq),
+            _stream_unfold(dk, b, h, hd, tk),
+            _stream_unfold(dv, b, h, hd, tk))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_mha_rowblock(qh, kh, vh, interpret=False):
+    """Row-block fused attention on (B, T, H, hd) inputs (q pre-scaled):
+    exact per-row softmax over whole-T-resident k/v, FlashAttention-2-style
+    split backward. For the _MAX_T < T <= _ROWBLOCK_MAX_T band. The primal
+    path skips the logsumexp residual entirely."""
+    out, _ = _mha_rowblock_fwd(qh, kh, vh, interpret=interpret,
+                               need_lse=False)
+    return out
+
+
+def _rowblock_vjp_fwd(qh, kh, vh, interpret):
+    out, lse = _mha_rowblock_fwd(qh, kh, vh, interpret=interpret)
+    return out, (qh, kh, vh, out, lse)
+
+
+def _rowblock_vjp_bwd(interpret, res, g):
+    qh, kh, vh, out, lse = res
+    return _mha_rowblock_bwd(qh, kh, vh, out, g.astype(qh.dtype), lse,
+                             interpret=interpret)
+
+
+flash_mha_rowblock.defvjp(_rowblock_vjp_fwd, _rowblock_vjp_bwd)
+
+
 def flash_train_supported(b: int, h: int, tq: int, tk: int, hd: int,
                           dtype, attention_bias) -> bool:
     """Gate for ``flash_mha_train`` (fused fwd+bwd) under autodiff: the
@@ -609,17 +860,44 @@ def flash_supported(tq: int, tk: int, hd: int, dtype,
     return True
 
 
-def flash_stream_supported(tq: int, tk: int, hd: int, dtype,
-                           attention_bias) -> bool:
-    """Gate for ``flash_mha_stream``: sequences past the whole-T kernels'
-    VMEM ceiling (``_MAX_T``), where the einsum path must materialize the
-    (B, H, T, T) scores in HBM and the whole-T kernels cannot lower.
-    Applies to both inference and differentiated regions (its custom_vjp
-    streams the backward too)."""
+def _long_t_eligible(tq: int, tk: int, hd: int, dtype,
+                     attention_bias) -> bool:
     if attention_bias is not None or dtype == jnp.float32:
         return False
     if hd % 64 != 0 or hd > 256:
         return False
-    if tq != tk:
-        return False  # self-attention towers only
-    return tq > _MAX_T
+    return tq == tk  # self-attention towers only
+
+
+# Measured in-tower crossover vs the bf16-score einsum path (ViT-B heads,
+# b=8, v5e, 2026-08-17): einsum 1.04x faster at T=1601, row-block 1.12x at
+# T=1937 and 1.19x at T=2305 — inference switches near T~1700. Training
+# (fwd+bwd) already ties at T=1601 (126.2 vs 128.9 ms) and the custom_vjp
+# saves only q/k/v/o/lse instead of the (B, H, T, T) probability tensors,
+# so the differentiated region switches right at the whole-T ceiling.
+_ROWBLOCK_MIN_INFER = 1680
+
+
+def flash_rowblock_supported(tq: int, tk: int, hd: int, dtype,
+                             attention_bias, training: bool = False) -> bool:
+    """Gate for ``flash_mha_rowblock``: the band past the whole-T kernels'
+    VMEM ceiling (``_MAX_T``) where k/v still fit VMEM whole
+    (``_ROWBLOCK_MAX_T``). Differentiated regions enter at the ceiling
+    (memory + measured parity); inference enters at the measured
+    einsum crossover (``_ROWBLOCK_MIN_INFER``)."""
+    if not _long_t_eligible(tq, tk, hd, dtype, attention_bias):
+        return False
+    floor = _MAX_T if training else _ROWBLOCK_MIN_INFER
+    return floor < tq <= _ROWBLOCK_MAX_T
+
+
+def flash_stream_supported(tq: int, tk: int, hd: int, dtype,
+                           attention_bias) -> bool:
+    """Gate for ``flash_mha_stream``: sequences past even the row-block
+    kernels' k/v-resident ceiling (``_ROWBLOCK_MAX_T``) — the unbounded
+    tail where only the online-softmax recurrence fits. Applies to both
+    inference and differentiated regions (its custom_vjp streams the
+    backward too)."""
+    if not _long_t_eligible(tq, tk, hd, dtype, attention_bias):
+        return False
+    return tq > _ROWBLOCK_MAX_T

@@ -191,56 +191,164 @@ def test_stream_grads_match_einsum_vjp():
             )
 
 
-def test_stream_routing_grads_flow():
+def test_rowblock_fwd_matches_einsum():
+    """Row-block (q-tiled, whole-k) forward equals the einsum path,
+    including the q-padding path (T=300 padded to the 512 tile; T=700
+    exercises two q tiles)."""
+    from simseg_tpu.ops.flash_attention import (_mha_rowblock_fwd,
+                                                _reference_mha)
+
+    rng = np.random.default_rng(5)
+    for t in (300, 700):
+        b, h, hd = 1, 2, 64
+        for dt, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 0.08)):
+            q, k, v = (
+                jnp.asarray(
+                    rng.normal(size=(b, t, h, hd)).astype(np.float32),
+                    dtype=dt)
+                for _ in range(3)
+            )
+            ref = _reference_mha(q, k, v).astype(jnp.float32)
+            out, lse = _mha_rowblock_fwd(q, k, v, interpret=True)
+            assert out.shape == (b, t, h, hd)
+            np.testing.assert_allclose(np.asarray(out, np.float32),
+                                       np.asarray(ref), atol=atol,
+                                       rtol=0.02)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                           preferred_element_type=jnp.float32)
+            ref_lse = np.asarray(
+                jax.nn.logsumexp(s, axis=-1).reshape(b * h, t))
+            np.testing.assert_allclose(np.asarray(lse[:, 0, :t]), ref_lse,
+                                       atol=1e-4, rtol=1e-5)
+            out2, no_lse = _mha_rowblock_fwd(q, k, v, interpret=True,
+                                             need_lse=False)
+            assert no_lse is None
+            np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
+
+
+def test_rowblock_grads_match_einsum_vjp():
+    """flash_mha_rowblock's split backward reproduces the einsum-path VJP
+    through the q-padding path."""
+    from simseg_tpu.ops.flash_attention import (_reference_mha,
+                                                flash_mha_rowblock)
+
+    rng = np.random.default_rng(6)
+    b, t, h, hd = 1, 300, 2, 64
+    for dt, atol in ((jnp.float32, 5e-4), (jnp.bfloat16, 0.3)):
+        q, k, v, g = (
+            jnp.asarray(rng.normal(size=(b, t, h, hd)).astype(np.float32),
+                        dtype=dt)
+            for _ in range(4)
+        )
+
+        def f_ref(q, k, v):
+            return jnp.sum(_reference_mha(q, k, v).astype(jnp.float32)
+                           * g.astype(jnp.float32))
+
+        def f_rb(q, k, v):
+            return jnp.sum(flash_mha_rowblock(q, k, v, True)
+                           .astype(jnp.float32) * g.astype(jnp.float32))
+
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        g_rb = jax.grad(f_rb, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_ref, g_rb):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                atol=atol, rtol=0.02,
+            )
+
+
+def test_rowblock_routing_grads_flow():
     """multi_head_attention at T past the whole-T ceiling differentiates
-    through the platform_dependent stream routing (tracing visits the
-    stream custom_vjp even when CPU lowering resolves to einsum); on CPU
-    grads equal the use_flash='never' einsum path bit-for-bit."""
+    through the platform_dependent row-block routing (tracing visits the
+    custom_vjp even when CPU lowering resolves to einsum); on CPU grads
+    equal the use_flash='never' einsum path bit-for-bit."""
     from simseg_tpu.ops.attention import multi_head_attention
-    from simseg_tpu.ops.flash_attention import _MAX_T
+    from simseg_tpu.ops.flash_attention import _ROWBLOCK_MIN_INFER
 
     rng = np.random.default_rng(4)
-    b, t, h, hd = 1, _MAX_T + 64, 1, 64
+    # above the inference crossover so 'auto' routes the row-block branch
+    # in BOTH modes; training=True additionally covers the
+    # training-floor entry
+    b, t, h, hd = 1, _ROWBLOCK_MIN_INFER + 48, 1, 64
     q, k, v = (
         jnp.asarray(rng.normal(size=(b, t, h * hd)).astype(np.float32),
                     dtype=jnp.bfloat16)
         for _ in range(3)
     )
 
-    def loss(mode):
+    def loss(mode, training):
         def f(q, k, v):
             out = multi_head_attention(q, k, v, h, dtype=jnp.bfloat16,
-                                       use_flash=mode)
+                                       use_flash=mode, training=training)
             return jnp.sum(out.astype(jnp.float32) ** 2)
         return f
 
-    g0 = jax.jit(jax.grad(loss("never"), argnums=(0, 1, 2)))(q, k, v)
-    g1 = jax.jit(jax.grad(loss("auto"), argnums=(0, 1, 2)))(q, k, v)
-    for a, b_ in zip(g0, g1):
-        np.testing.assert_array_equal(np.asarray(a, np.float32),
-                                      np.asarray(b_, np.float32))
+    for training in (False, True):
+        g0 = jax.jit(jax.grad(loss("never", training),
+                              argnums=(0, 1, 2)))(q, k, v)
+        g1 = jax.jit(jax.grad(loss("auto", training),
+                              argnums=(0, 1, 2)))(q, k, v)
+        for a, b_ in zip(g0, g1):
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b_, np.float32))
 
 
-def test_stream_supported_gating():
-    """flash_stream_supported: only past the whole-T kernels' VMEM ceiling;
-    same bias/dtype/lane constraints; self-attention only."""
-    from simseg_tpu.ops.flash_attention import (_MAX_T, flash_stream_supported,
+def test_long_t_gating():
+    """The three long-T gates tile the axis exactly once: whole-T resident
+    up to _MAX_T, row-block to _ROWBLOCK_MAX_T, streaming beyond; same
+    bias/dtype/lane constraints everywhere; self-attention only."""
+    from simseg_tpu.ops.flash_attention import (_MAX_T, _ROWBLOCK_MAX_T,
+                                                flash_rowblock_supported,
+                                                flash_stream_supported,
                                                 flash_supported)
 
+    from simseg_tpu.ops.flash_attention import _ROWBLOCK_MIN_INFER
+
     bf16, f32 = jnp.bfloat16, jnp.float32
-    assert flash_stream_supported(2048, 2048, 64, bf16, None)
-    assert flash_stream_supported(4096, 4096, 128, bf16, None)
+    # the row-block band
+    assert flash_rowblock_supported(2048, 2048, 64, bf16, None)
+    assert flash_rowblock_supported(4096, 4096, 128, bf16, None)
+    assert not flash_stream_supported(2048, 2048, 64, bf16, None)
+    # measured einsum window just past the whole-T ceiling: inference stays
+    # einsum until the crossover, but a differentiated region enters the
+    # row-block kernel right away (memory + measured parity)
+    assert not flash_rowblock_supported(1601, 1601, 64, bf16, None)
+    assert flash_rowblock_supported(1601, 1601, 64, bf16, None,
+                                    training=True)
+    assert flash_rowblock_supported(_ROWBLOCK_MIN_INFER + 1,
+                                    _ROWBLOCK_MIN_INFER + 1, 64, bf16, None)
+    # the streaming tail
+    assert flash_stream_supported(4097, 4097, 64, bf16, None)
+    assert flash_stream_supported(8192, 8192, 128, bf16, None)
+    assert not flash_rowblock_supported(4097, 4097, 64, bf16, None,
+                                        training=True)
     # inside the whole-T band the resident kernel owns it
-    assert not flash_stream_supported(1297, 1297, 64, bf16, None)
+    assert not flash_rowblock_supported(1297, 1297, 64, bf16, None,
+                                        training=True)
     assert flash_supported(1297, 1297, 64, bf16, None)
-    # boundary: exactly _MAX_T stays whole-T; _MAX_T+1 streams
-    assert not flash_stream_supported(_MAX_T, _MAX_T, 64, bf16, None)
-    assert flash_stream_supported(_MAX_T + 1, _MAX_T + 1, 64, bf16, None)
-    assert not flash_supported(_MAX_T + 1, _MAX_T + 1, 64, bf16, None)
-    assert not flash_stream_supported(2048, 2048, 64, f32, None)
-    assert not flash_stream_supported(2048, 2048, 64, bf16, 0.0)
-    assert not flash_stream_supported(2048, 1024, 64, bf16, None)
-    assert not flash_stream_supported(2048, 2048, 48, bf16, None)
+    # band edges: no T is ever claimed by two kernels, and away from the
+    # inference einsum window exactly one claims it
+    for t in (_MAX_T, _MAX_T + 1, _ROWBLOCK_MIN_INFER,
+              _ROWBLOCK_MIN_INFER + 1, _ROWBLOCK_MAX_T,
+              _ROWBLOCK_MAX_T + 1):
+        for training in (False, True):
+            claims = [flash_supported(t, t, 64, bf16, None),
+                      flash_rowblock_supported(t, t, 64, bf16, None,
+                                               training),
+                      flash_stream_supported(t, t, 64, bf16, None)]
+            assert sum(claims) <= 1, (t, training, claims)
+            in_einsum_window = (not training
+                                and _MAX_T < t <= _ROWBLOCK_MIN_INFER)
+            assert sum(claims) == (0 if in_einsum_window else 1), (
+                t, training, claims)
+    # shared constraints
+    for gate in (flash_rowblock_supported, flash_stream_supported):
+        t = 2048 if gate is flash_rowblock_supported else 8192
+        assert not gate(t, t, 64, f32, None)
+        assert not gate(t, t, 64, bf16, 0.0)
+        assert not gate(t, t // 2, 64, bf16, None)
+        assert not gate(t, t, 48, bf16, None)
 
 
 def test_supported_gating():
