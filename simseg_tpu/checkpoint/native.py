@@ -61,8 +61,14 @@ def save_checkpoint(
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, os.path.join(path, STATE_FILE))
-    with open(os.path.join(path, META_FILE), "w") as f:
+    # meta rides the same temp+rename pattern as the state file: step
+    # checkpoints overwrite the live resume point in place, and a kill
+    # between the two writes must not leave new params next to a
+    # truncated/stale meta
+    tmp_meta = os.path.join(path, META_FILE + ".tmp")
+    with open(tmp_meta, "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(tmp_meta, os.path.join(path, META_FILE))
 
     if make_latest:
         link = os.path.join(directory, LATEST)

@@ -318,7 +318,9 @@ def torch_to_flax(
         if tuple(arr.shape) != tuple(np.shape(want)):
             mismatched.append((name, arr.shape, tuple(np.shape(want))))
             continue
-        new_flat[path] = arr.astype(np.asarray(want).dtype) if hasattr(want, "dtype") else arr
+        # read .dtype directly — np.asarray(want) would pull a
+        # device-resident template leaf to the host just to ask its dtype
+        new_flat[path] = arr.astype(want.dtype) if hasattr(want, "dtype") else arr
         matched.append(name)
 
     missing = [p for p in target if p not in new_flat]
@@ -361,4 +363,9 @@ def load_clip_checkpoint(
         state = {k: v for k, v in state.items() if k.startswith("image_")}
     if only_text_encoder:
         state = {k: v for k, v in state.items() if k.startswith("text_")}
+    if only_image_encoder or only_text_encoder:
+        # a tower filter necessarily leaves the other tower 'missing';
+        # the reference likewise drops to strict=False for these modes
+        # (tasks/clip/hooks/checkpoint.py:46-53)
+        strict = False
     return torch_to_flax(state, params, clip_mapping_table(projection), strict=strict)

@@ -339,11 +339,15 @@ class CLIPRunner(EpochRunner):
         )
 
     def build_step_fns(self) -> None:
-        from simseg_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
+        from simseg_tpu.parallel.mesh import (MODEL_AXIS, PIPE_AXIS,
+                                              loss_group_samples)
 
         cfg = self.cfg
         smoothing = cfg.loss.get("smoothing", 0.0)
-        group_size = cfg.loss.get("group_size", -1)
+        # cfg.loss.group_size is devices-per-group (the reference's unit,
+        # consumed by make_mesh); the loss works on the fused global batch
+        # and needs the matching samples-per-group block
+        group_size = loss_group_samples(self.mesh, cfg.data.batch_size)
         zero1 = bool(cfg.dist.get("zero1", False))
         fsdp = bool(cfg.dist.get("fsdp", False))
         moe_ep = bool(cfg.dist.get("moe_ep", False))
@@ -382,7 +386,7 @@ class CLIPRunner(EpochRunner):
             built = make_bsgs_train_step(
                 self.model, self.tx, self._set_lr, num_micro=num_micro,
                 mesh=self.mesh, smoothing=smoothing,
-                group_size=(group_size if group_size and group_size > 0 else -1),
+                group_size=group_size,
                 mixup=loss_name == "MixUpNCE",
                 mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
                 shard_opt_state=zero1,
@@ -396,7 +400,7 @@ class CLIPRunner(EpochRunner):
             built = make_train_step(
                 self.model, self.tx, self._set_lr, mesh=self.mesh,
                 smoothing=smoothing,
-                group_size=(group_size if group_size and group_size > 0 else -1),
+                group_size=group_size,
                 loss_name=cfg.loss.get("name", "NCE"),
                 mixup_alpha_param=cfg.get("mixup", {}).get("alpha", 0.2),
                 # 'shard': mix/flip within each data shard's block — the

@@ -165,7 +165,9 @@ def make_bsgs_grad_fn(
         eye = jnp.eye(g, dtype=jnp.float32)
         if mixup:
             flip = np.zeros((g, g), np.float32)
-            flip[np.arange(g), _flip_within_blocks(g, min(mb_size, g))] = 1.0
+            # g >= mb_size is guaranteed by the group/micro divisibility
+            # guard at the top of this function
+            flip[np.arange(g), _flip_within_blocks(g, mb_size)] = 1.0
             y_mix = lam_sg * eye + (1.0 - lam_sg) * jnp.asarray(flip)
         else:
             y_mix = eye

@@ -240,15 +240,23 @@ def clip_loss_fn(
         img, txt, temp = forward_fn(params, batch)
     elif _moe_enabled(model):
         # MoE towers sow the Switch load-balance aux loss into
-        # 'intermediates' (ops/moe.py); collect and add it weighted
-        (img, txt, temp), inter = model.apply(
+        # 'intermediates' (ops/moe.py); collect and add it weighted.
+        # A CNN image tower running live BN (bn_training, e.g. a MoE text
+        # tower next to a ResNet with freeze_cnn_bn=false) composes here:
+        # both collections ride the same mutable apply
+        live_bn = (bn_training and isinstance(params, dict)
+                   and "batch_stats" in params)
+        (img, txt, temp), upd = model.apply(
             params, batch, deterministic=rng is None, rngs=rngs,
-            mutable=["intermediates"],
+            mutable=["intermediates"] + (["batch_stats"] if live_bn else []),
+            **({"train_bn": True} if live_bn else {}),
         )
+        if live_bn:
+            new_stats = upd["batch_stats"]
         # Switch convention: SUM over MoE layers (each layer's balancing
         # signal is independent of the MoE depth)
         moe_aux = sum(jnp.mean(jnp.asarray(v))
-                      for v in jax.tree.leaves(inter))
+                      for v in jax.tree.leaves(upd["intermediates"]))
     elif bn_training and isinstance(params, dict) and "batch_stats" in params:
         # CNN live-BN training: forward with batch statistics, collect the
         # mutated running averages for the step to merge back (reference

@@ -47,15 +47,27 @@ def axis_index(axis_name: str = DATA_AXIS) -> jnp.ndarray:
 # -- host-side (outside jit) --------------------------------------------------
 
 def broadcast_object(obj: Any, is_source: Optional[bool] = None) -> Any:
-    """Broadcast a python object from process 0 to all processes
-    (parity: dist.py broadcast_object_list; multihost_utils on TPU)."""
+    """Broadcast an arbitrary python object from process 0 to all
+    processes (parity: dist.py broadcast_object_list — which pickles, as
+    torch's does). multihost_utils.broadcast_one_to_all only transports
+    numeric-array pytrees (a string would become a numpy '<U' array it
+    rejects), so the object rides as pickled bytes: first the length
+    (non-source processes need it to build a matching-shape buffer), then
+    the payload."""
     if jax.process_count() == 1:
         return obj
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(
-        obj, is_source=is_source
-    )
+    source = (jax.process_index() == 0) if is_source is None else is_source
+    payload = pickle.dumps(obj) if source else b""
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.int64(len(payload)), is_source=is_source))
+    buf = (np.frombuffer(payload, np.uint8) if source
+           else np.zeros((n,), np.uint8))
+    out = multihost_utils.broadcast_one_to_all(buf, is_source=is_source)
+    return pickle.loads(np.asarray(out).tobytes())
 
 
 def barrier(name: str = "barrier") -> None:

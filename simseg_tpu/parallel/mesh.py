@@ -136,6 +136,28 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
+def loss_group_samples(mesh: Mesh, batch_size: int) -> int:
+    """Convert a grouped mesh into the loss-level samples-per-group.
+
+    ``cfg.loss.group_size`` is in the reference's unit — DEVICES per
+    contrastive gather group (clip_bsgs_runner.py:71-74,
+    ``generate_local_groups(group_size)``). ``make_mesh`` consumes that
+    unit; the fused-global-batch loss (``ops/losses.py info_nce``) needs
+    the matching SAMPLES-per-group block. Batch rows shard contiguously in
+    ('replica', 'data') order, so each device group owns one contiguous
+    ``batch_size / n_groups`` block. Returns -1 (global negatives) when the
+    mesh has no replica axis (group_size <= 0 or >= the data-parallel
+    size — the reference's world-group default)."""
+    n_groups = mesh.shape.get(REPLICA_AXIS, 1)
+    if n_groups <= 1:
+        return -1
+    if batch_size % n_groups != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must divide into {n_groups} device "
+            f"groups")
+    return batch_size // n_groups
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

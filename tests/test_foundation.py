@@ -107,3 +107,18 @@ def test_mesh_and_sharding():
         make_mesh(group_size=3)
     with pytest.raises(ValueError):
         local_batch_size(17, mesh)
+
+
+def test_loss_group_samples_unit_conversion():
+    """cfg.loss.group_size is DEVICES per gather group (the reference's
+    generate_local_groups unit); the fused-batch loss needs SAMPLES per
+    group — one contiguous block per device group."""
+    from simseg_tpu.parallel.mesh import loss_group_samples
+
+    # 8 devices, groups of 4 -> 2 groups; batch 16 -> blocks of 8 samples
+    grouped = make_mesh(group_size=4)
+    assert loss_group_samples(grouped, 16) == 8
+    # plain data mesh (group_size <= 0 or world-sized): global negatives
+    assert loss_group_samples(make_mesh(), 16) == -1
+    with pytest.raises(ValueError):
+        loss_group_samples(grouped, 15)  # not divisible into 2 groups

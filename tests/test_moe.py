@@ -216,3 +216,31 @@ def test_bert_moe_masks_padding():
     a1 = [float(np.asarray(v)) for v in jax.tree.leaves(inter)]
     a2 = [float(np.asarray(v)) for v in jax.tree.leaves(inter2)]
     np.testing.assert_allclose(a1, a2, rtol=1e-6)
+
+
+def test_moe_text_with_live_bn_image_tower():
+    """A MoE text tower next to a CNN image tower running live BN: the
+    mutable apply carries BOTH collections — the aux loss is collected AND
+    the step still merges updated batch statistics (previously the MoE
+    branch silently dropped live-BN training)."""
+    from simseg_tpu.engine.train_step import clip_loss_fn
+
+    model = tiny_clip(image_tag="resnet_test", text_arch=MOE_ARCH)
+    batch = _batch(8)
+    params = model.init(jax.random.key(0), batch)
+    assert "batch_stats" in params
+
+    _, metrics = clip_loss_fn(model, params, batch, None, bn_training=True)
+    assert "moe_aux" in metrics and np.isfinite(float(metrics["moe_aux"]))
+    new_stats = metrics.get("_new_batch_stats")
+    assert new_stats is not None
+    # the running statistics actually moved (live BN, not frozen stats)
+    before = jax.tree.leaves(params["batch_stats"])
+    after = jax.tree.leaves(new_stats)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
+    # bn_training=False keeps stats frozen through the same MoE branch
+    _, m2 = clip_loss_fn(model, params, batch, None, bn_training=False)
+    assert "moe_aux" in m2 and m2.get("_new_batch_stats") is None

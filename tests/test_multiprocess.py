@@ -68,6 +68,13 @@ assert g.dtype == np.float64, g.dtype
 assert g[0, 0] == 2.0**24 + 1 and g[1, 0] == 2.0**24 + 2, g
 assert g[0, 1] == g[1, 1] == np.float64(1.0) / 3.0, g
 
+# broadcast_object carries arbitrary python objects (pickled bytes ride
+# the array broadcast) — e.g. a wandb run id string from process 0
+from simseg_tpu.parallel.collectives import broadcast_object
+obj = {"run_id": "abc123", "step": 7} if pid == 0 else None
+got = broadcast_object(obj)
+assert got == {"run_id": "abc123", "step": 7}, got
+
 print("SUMMARY:" + json.dumps({"pid": pid, "summary": out}))
 """
 

@@ -135,3 +135,26 @@ def test_load_only_image_encoder(bridged, tmp_path):
         np.asarray(new_params["params"]["text_encoder"]["word_embeddings"]["embedding"]),
         np.asarray(orig_word),
     )
+
+
+def test_load_only_image_encoder_strict_ok(bridged, tmp_path):
+    """A tower filter necessarily leaves the other tower 'missing'; like
+    the reference (checkpoint.py:46-53) the load drops to non-strict
+    instead of raising."""
+    tmodel, fmodel, _, _ = bridged
+    path = tmp_path / "t.pth"
+    torch.save({"state_dict": tmodel.state_dict()}, path)
+    dummy = {
+        "image": jnp.zeros((1, 32, 32, 3)),
+        "input_ids": jnp.zeros((1, 8), dtype=jnp.int32),
+        "attention_mask": jnp.ones((1, 8), dtype=jnp.int32),
+    }
+    params = tiny_clip().init(jax.random.key(1), dummy)
+    new_params, report = load_clip_checkpoint(
+        str(path), params, only_image_encoder=True, strict=True
+    )
+    t_cls = tmodel.image_encoder.model.model.cls_token.detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(new_params["params"]["image_encoder"]["cls_token"]), t_cls
+    )
+    assert report["missing"]  # the filtered-out text tower, tolerated
