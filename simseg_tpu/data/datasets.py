@@ -83,7 +83,10 @@ class CsvPairDataset:
             rng = random.Random(
                 (self.seed * 1_000_003 + self.epoch) * 1_000_003 + index)
             caption = process_caption(self.tokenizer, caption, rng=rng)
-        enc = self.tokenizer(caption, padding="max_length", truncation=True,
+        # batch-of-one call: HF tokenizers return a FLAT id list for a bare
+        # string (so [0] would be the CLS id), but nested lists for a list
+        # input — the form the bundled WordPiece fallback also produces
+        enc = self.tokenizer([caption], padding="max_length", truncation=True,
                              max_length=self.max_length)
         path = os.path.join(self.image_base, self.images[index])
         if self.mode == "train" and hasattr(self.transforms, "load"):
@@ -97,7 +100,11 @@ class CsvPairDataset:
         }
         if self.mode != "train" and self.image_ids is not None:
             sample["image_id"] = np.int64(self.image_ids[index])
-            sample["caption_id"] = np.int64(self.caption_ids[index])
+            # caption_id is optional independently of image_id (the class
+            # contract); the row index is unique per caption when absent
+            sample["caption_id"] = np.int64(
+                self.caption_ids[index] if self.caption_ids is not None
+                else index)
         return sample
 
 
@@ -122,7 +129,9 @@ class ParquetRetrievalDataset:
         return len(self.captions)
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
-        enc = self.tokenizer(self.captions[index], padding="max_length",
+        # batch-of-one (see CsvPairDataset: HF returns flat ids for a bare
+        # string)
+        enc = self.tokenizer([self.captions[index]], padding="max_length",
                              truncation=True, max_length=self.max_length)
         img = Image.open(BytesIO(self.images[index])).convert("RGB")
         return {
@@ -297,7 +306,16 @@ class DataLoader:
         return idx[self.shard_index::self.shard_count]
 
     def __len__(self) -> int:
-        n = len(self._indices())
+        # arithmetic only — materializing + shuffling the index list here
+        # (i.e. calling _indices()) would be O(N) per call, and __len__
+        # runs at runner init and per epoch in debias_batches
+        n = len(self.dataset)
+        if self.shard_count > 1:
+            if self.pad_shards and n:
+                n = -(-n // self.shard_count)  # every shard wrap-padded equal
+            else:
+                n = max(0, (n - self.shard_index + self.shard_count - 1)
+                        // self.shard_count)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -314,14 +332,32 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # a plain q.put would block forever once the consumer abandons
+            # the iterator (stop set, queue full) — poll the stop event
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(_collate(samples))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        batch = _collate(list(
+                            pool.map(self.dataset.__getitem__, batch_idx)))
+                        if not put_or_stop(batch):
+                            return
+                put_or_stop(None)
+            except BaseException as exc:  # noqa: BLE001
+                # a decode/collate error must reach the consumer — dying
+                # without a sentinel would leave it blocked in q.get forever
+                put_or_stop(exc)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -330,6 +366,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

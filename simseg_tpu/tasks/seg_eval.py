@@ -183,8 +183,10 @@ def make_seg_predict(model, cfg, num_classes: int, top_cls_num: int,
                 pooled_acc = pooled_acc + pooled_w
                 n_windows += 1
         dense = (feat_grid / jnp.maximum(counts, 1.0)).reshape(b, -1, d)
-        pooled = l2_normalize(pooled_acc / n_windows)
-        return dense, pooled
+        # RAW window mean — normalization happens once in predict, so a
+        # multi-scale combination averages window and scale views at the
+        # same magnitude instead of a unit-norm view against raw ones
+        return dense, pooled_acc / n_windows
 
     def predict(params, images_u8, text_bank):
         images = normalize_images(images_u8, mean, std)
@@ -216,6 +218,8 @@ def make_seg_predict(model, cfg, num_classes: int, top_cls_num: int,
                 n_used += 1
             dense = dense_acc / n_used
             pooled = l2_normalize(pooled_acc / n_used)
+        elif use_window:
+            pooled = l2_normalize(pooled)
         dense = l2_normalize(dense)
         return decode(dense, pooled, jnp.asarray(text_bank), images_u8)
 

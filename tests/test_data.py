@@ -193,3 +193,89 @@ def test_seg_dataset(tmp_path):
     s = ds[0]
     assert s["image"].shape == (32, 32, 3)
     assert s["mask_label"].shape == (50, 60)
+
+
+class _ListDataset:
+    def __init__(self, n, fail_at=None):
+        self.n = n
+        self.fail_at = fail_at
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if self.fail_at is not None and i == self.fail_at:
+            raise OSError(f"corrupt sample {i}")
+        return {"x": np.full((2,), i, np.float32)}
+
+
+def test_loader_len_is_arithmetic():
+    """__len__ never materializes/shuffles indices; it matches the actual
+    batch count for every shard/pad/drop combination."""
+    for n in (0, 1, 7, 16, 17):
+        ds = _ListDataset(n)
+        for shard_count in (1, 3):
+            for shard_index in range(shard_count):
+                for pad in (False, True):
+                    for drop in (False, True):
+                        loader = DataLoader(
+                            ds, batch_size=4, shuffle=True, drop_last=drop,
+                            num_workers=1, shard_index=shard_index,
+                            shard_count=shard_count, pad_shards=pad)
+                        got = len(loader)
+                        want = len(list(loader))
+                        assert got == want, (
+                            n, shard_count, shard_index, pad, drop, got, want)
+
+
+def test_loader_propagates_dataset_errors():
+    """A decode error reaches the consumer as an exception instead of
+    killing the producer thread and hanging q.get forever."""
+    loader = DataLoader(_ListDataset(8, fail_at=5), batch_size=4,
+                        num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)  # first batch (indices 0-3) is fine
+    with pytest.raises(OSError, match="corrupt sample 5"):
+        for _ in it:
+            pass
+
+
+def test_loader_abandoned_iterator_stops_producer():
+    """Abandoning iteration mid-epoch unblocks the producer (it would
+    otherwise sit in q.put on the full prefetch queue forever)."""
+    import threading
+    import time
+
+    before = {t.ident for t in threading.enumerate()}
+    loader = DataLoader(_ListDataset(64), batch_size=4, num_workers=1,
+                        prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # generator finally -> stop.set()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"leaked producer threads: {extra}"
+
+
+def test_csv_dataset_with_real_hf_tokenizer(csv_dataset, vocab_tok, tmp_path):
+    """Datasets must tokenize with batch-of-one calls: a real HF tokenizer
+    returns a FLAT id list for a bare string (so [0] would be the CLS id,
+    garbling every sample on machines with a cached HF tokenizer)."""
+    transformers = pytest.importorskip("transformers")
+    vf = tmp_path / "hf_vocab.txt"
+    vf.write_text("\n".join(vocab_tok.vocab))
+    hf = transformers.BertTokenizer(str(vf), do_lower_case=True)
+
+    csv_dataset.tokenizer = hf
+    s = csv_dataset[0]
+    assert s["input_ids"].shape == (12,)
+    assert s["attention_mask"].shape == (12,)
+    # matches the bundled WordPiece fallback token-for-token
+    csv_dataset.tokenizer = vocab_tok
+    s2 = csv_dataset[0]
+    np.testing.assert_array_equal(s["input_ids"], s2["input_ids"])

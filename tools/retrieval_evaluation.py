@@ -16,7 +16,7 @@ import numpy as np
 from simseg_tpu.config import cfg, update_cfg
 from simseg_tpu.data.datasets import DataLoader, ParquetRetrievalDataset
 from simseg_tpu.data.tokenizer import build_tokenizer
-from simseg_tpu.data.transforms import build_transforms, normalize_images
+from simseg_tpu.data.transforms import build_transforms
 from simseg_tpu.models.clip import build_clip_model
 from simseg_tpu.tasks.clip.config import task_cfg_init_fn, update_clip_config
 from simseg_tpu.utils.logger import logger
@@ -43,17 +43,11 @@ def evaluate_benchmark(loader, model, params, cfg, mesh=None) -> dict:
     import jax
     import jax.numpy as jnp
 
-    mean = tuple(cfg.transforms.normalize.mean)
-    std = tuple(cfg.transforms.normalize.std)
+    # the exact graph the serving artifact exports — one definition, so the
+    # served embeddings and the evaluated metric cannot drift
+    from simseg_tpu.serving import make_embed_fn
 
-    def embed_fn(params, images_u8, input_ids, attention_mask):
-        batch = {
-            "image": normalize_images(images_u8, mean, std),
-            "input_ids": input_ids,
-            "attention_mask": attention_mask,
-        }
-        img, txt, _ = model.apply(params, batch, deterministic=True)
-        return img.astype(jnp.float32), txt.astype(jnp.float32)
+    embed_fn = make_embed_fn(model, params, cfg, bake_weights=False)
 
     full_batch = getattr(loader, "batch_size", None)
     from simseg_tpu.parallel.mesh import data_sharding, eval_mesh, replicated

@@ -221,8 +221,10 @@ def render_scene(rng: np.random.Generator, size: int, gt_size, n_classes: int,
     production nearest GT-resize path.
     """
     gh, gw = gt_size
-    n_obj = int(rng.integers(2, max_objects + 1))
-    # distinct foreground classes for this scene
+    # distinct foreground classes for this scene — at most the available
+    # non-background classes (small --classes values)
+    cap = min(max_objects, n_classes - 1)
+    n_obj = int(rng.integers(min(2, cap), cap + 1))
     classes = rng.choice(np.arange(1, n_classes), size=n_obj, replace=False)
     shapes = []
     for cls in classes:
