@@ -44,11 +44,32 @@ def _base_opt(name: str, opt_param: Dict[str, Any], weight_decay: float):
             weight_decay=weight_decay,
         )
     if name == "adam":
-        return optax.inject_hyperparams(optax.adam)(
+        # torch Adam applies weight_decay as COUPLED L2 (folded into the
+        # gradient before the moments, not AdamW's decoupled decay) —
+        # add_decayed_weights ahead of the transform reproduces that;
+        # silently dropping the configured decay would train a different
+        # objective than the reference
+        def adam_l2(learning_rate, b1, b2, eps):
+            tx = optax.adam(learning_rate, b1=b1, b2=b2, eps=eps)
+            if weight_decay:
+                tx = optax.chain(
+                    optax.add_decayed_weights(weight_decay), tx)
+            return tx
+
+        return optax.inject_hyperparams(adam_l2)(
             learning_rate=0.0, b1=betas[0], b2=betas[1], eps=eps,
         )
     if name == "sgd":
-        return optax.inject_hyperparams(optax.sgd)(
+        # torch SGD likewise folds weight_decay into the gradient before
+        # momentum
+        def sgd_l2(learning_rate, momentum):
+            tx = optax.sgd(learning_rate, momentum=momentum)
+            if weight_decay:
+                tx = optax.chain(
+                    optax.add_decayed_weights(weight_decay), tx)
+            return tx
+
+        return optax.inject_hyperparams(sgd_l2)(
             learning_rate=0.0, momentum=momentum,
         )
     if name == "lars":

@@ -97,7 +97,8 @@ class EpochRunner(BaseRunner):
         )
         self.total_steps = max(self.train_steps * self.max_epochs, 1)
 
-        self._rng = rng or jax.random.key(cfg.seed or 0)
+        # `rng or ...` would evaluate the truthiness of a JAX key array
+        self._rng = rng if rng is not None else jax.random.key(cfg.seed or 0)
         if params is None:
             params = self._init_params(self._rng)
         frozen = tuple(self.frozen_patterns())
@@ -511,6 +512,9 @@ class LinearProbRunner(EpochRunner):
                 # mml_loss.py:146-197). With stable_random off the rng
                 # exists only for the blend — the tower forward stays
                 # deterministic, exactly as it is without mixup.
+                from simseg_tpu.engine.train_step import _block_flip
+                from simseg_tpu.parallel.mesh import batch_shards
+
                 mix_rng, carried = jax.random.split(rng)
                 fwd_rng = carried if stable else None
                 lam = jax.random.beta(mix_rng, mixup_alpha, mixup_alpha)
@@ -521,10 +525,16 @@ class LinearProbRunner(EpochRunner):
                     # one-hots before blending (CE is linear in the target,
                     # so this equals smoothing each mixed term)
                     onehot = onehot * (1.0 - smoothing) + smoothing / num_classes
+                # flip within each data shard's block (like the CLIP
+                # MixUpNCE pairing): a global jnp.flip would relayout the
+                # whole image tensor across chips every step
+                n_flip = batch_shards(self.mesh)
                 batch = dict(
                     batch,
-                    image=lam * images + (1.0 - lam) * jnp.flip(images, 0),
-                    label=lam * onehot + (1.0 - lam) * jnp.flip(onehot, 0),
+                    image=lam * images
+                    + (1.0 - lam) * _block_flip(images, n_flip),
+                    label=lam * onehot
+                    + (1.0 - lam) * _block_flip(onehot, n_flip),
                 )
             (_, metrics), grads = jax.value_and_grad(
                 lambda p: linear_prob_loss_fn(model, p, batch, fwd_rng,

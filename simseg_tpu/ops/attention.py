@@ -114,8 +114,12 @@ def multi_head_attention(
             flash_stream_supported, flash_train_supported)
 
         if use_flash == "interpret":
-            # mirror the 'auto' kernel choice so interpret mode validates
-            # the kernel the TPU would actually run at this shape
+            # FORCE a kernel in interpreter mode (CPU correctness tests).
+            # The long-T bands mirror the 'auto' gates; everything else
+            # forces the whole-T kernel regardless of its perf band —
+            # tests deliberately exercise it at shapes (short T, (1536,
+            # 1680] inference, cross-attention) where 'auto' on TPU would
+            # pick the einsum path instead.
             if flash_rowblock_supported(tq, tk, hd, dtype, attention_bias,
                                         training):
                 kernel = flash_mha_rowblock

@@ -43,6 +43,10 @@ def topk_pool(
     reference exactly while keeping static shapes: we always take the static
     top-k and average only the first ``k_eff`` entries.
     """
+    # static clamp first: lax.top_k refuses k > T (small patch grids under
+    # LoDA; the reference's dynamic min-length clamp covers only the
+    # masked case and its torch topk would crash the same way)
+    k = min(k, x.shape[1])
     if attention_mask is not None:
         fill = jnp.asarray(_MASK_FILL, dtype=x.dtype)
         x = jnp.where(attention_mask[..., None] > 0, x, fill)

@@ -159,3 +159,19 @@ def test_clip_identity_pool_uses_cls():
     params2 = model2.init(jax.random.key(0), batch)
     feats2 = model2.apply(params2, batch, embeddings="image")
     assert feats2.shape == (2, 16, 32)  # patch tokens
+
+
+def test_topk_pool_static_k_clamp():
+    """k larger than the static token count clamps to T (small patch grids
+    under LoDA) instead of crashing lax.top_k; result equals the full mean."""
+    from simseg_tpu.ops.pooling import avg_pool, topk_pool
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 8)),
+                    jnp.float32)
+    got = topk_pool(x, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(avg_pool(x)),
+                               rtol=1e-6)
+    # masked variant under the same static clamp
+    mask = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 0]], jnp.int32)
+    got_m = topk_pool(x, 5, attention_mask=mask)
+    assert np.isfinite(np.asarray(got_m)).all()

@@ -212,3 +212,44 @@ def test_grad_accum_matches_mean_gradient():
     s1 = set_lr1(tx1.init(params), 0.1)
     u, _ = tx1.update(g1, s1, params)
     np.testing.assert_allclose(np.asarray(u["w"]), [-0.1, 0.0], rtol=1e-6)
+
+
+def test_adam_sgd_coupled_weight_decay():
+    """optim.param.weight_decay with torch.optim.Adam / SGD applies as
+    torch's COUPLED L2 (folded into the gradient before the moments) —
+    previously it was silently dropped."""
+    from simseg_tpu.core.optim import build_optimizer
+    from simseg_tpu.utils.collections import AttrDict
+
+    for name, decay_free in (("torch.optim.Adam", "adam"),
+                             ("torch.optim.SGD", "sgd")):
+        cfg = AttrDict()
+        cfg.optim = AttrDict(
+            name=name,
+            param=AttrDict(betas=(0.9, 0.999), eps=1e-8, momentum=0.0,
+                           weight_decay=0.1),
+            param_group_rules=AttrDict(), grad_clip=AttrDict(),
+        )
+        params = {"w": jnp.asarray([1.0, -2.0])}
+        grads = {"w": jnp.asarray([0.5, 0.5])}
+        tx, set_lr = build_optimizer(cfg, params)
+        st = tx.init(params)
+        st = set_lr(st, 0.01)
+        upd, _ = tx.update(grads, st, params)
+
+        cfg0 = AttrDict()
+        cfg0.optim = AttrDict(
+            name=name,
+            param=AttrDict(betas=(0.9, 0.999), eps=1e-8, momentum=0.0,
+                           weight_decay=0.0),
+            param_group_rules=AttrDict(), grad_clip=AttrDict(),
+        )
+        tx0, set_lr0 = build_optimizer(cfg0, params)
+        st0 = tx0.init(params)
+        st0 = set_lr0(st0, 0.01)
+        # wd=0 on the decayed gradient == wd>0 on the raw gradient
+        # (coupled L2: the decay term enters BEFORE the moment updates)
+        coupled = {"w": grads["w"] + 0.1 * params["w"]}
+        upd_ref, _ = tx0.update(coupled, st0, params)
+        np.testing.assert_allclose(np.asarray(upd["w"]),
+                                   np.asarray(upd_ref["w"]), rtol=1e-6)
