@@ -48,9 +48,13 @@ def main():
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
         )
 
-        # forward preemption/interrupt to the trainer so its PreemptionHook
-        # can checkpoint and exit cleanly; the launcher keeps teeing until
-        # the child finishes
+        # forward preemption (SIGTERM, sent to the launcher pid) to the
+        # trainer so its PreemptionHook can checkpoint and exit cleanly.
+        # SIGINT is NOT forwarded: a terminal Ctrl+C already reaches the
+        # whole foreground process group (launcher AND trainer) — sending
+        # a second SIGINT would interrupt the trainer's in-progress
+        # checkpoint save. The launcher keeps teeing until the child
+        # finishes.
         def _forward(signum, frame):
             try:
                 proc.send_signal(signum)
@@ -58,13 +62,16 @@ def main():
                 pass
 
         signal.signal(signal.SIGTERM, _forward)
-        signal.signal(signal.SIGINT, _forward)
+        signal.signal(signal.SIGINT, signal.SIG_IGN)
 
         for line in proc.stdout:
             sys.stdout.write(line)
             log.write(line)
         proc.wait()
-    sys.exit(proc.returncode)
+    rc = proc.returncode
+    # a signal-killed child has rc = -sig; report the conventional 128+sig
+    # (raw negative ints get truncated to a misleading byte by C exit())
+    sys.exit(128 - rc if rc < 0 else rc)
 
 
 if __name__ == "__main__":

@@ -19,19 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timed(fn, args, batch, iters=20, trials=3):
-    acc = jnp.zeros((), jnp.float32)
-    float(fn(*args, acc))  # compile + warm
-    rates = []
-    for _ in range(trials):
-        acc = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            acc = fn(*args, acc)
-        float(acc)
-        rates.append(batch * iters / (time.perf_counter() - t0))
-    return float(np.median(rates))
+from bench_common import timed_rate as timed  # noqa: E402
+from bench_common import tower_flops  # noqa: E402
 
 
 def main():
@@ -156,15 +145,8 @@ def main():
         rates.append(r)
     results["clip_train_step"] = float(np.median(rates))
 
-    # MFU: analytic dense FLOPs per sample for the flagship towers.
-    # ViT-B/16 @288 (T=325, D=768, 12 blocks): per block 4TD^2 MACs
-    # (qkv+proj) + 2T^2 D (scores+context) + 8TD^2 (mlp); plus the
-    # patch-embed conv and the 512-d projections. BERT-base @T=25
-    # analogous. Train step ~= 3x forward (fwd + 2x bwd matmuls).
-    def tower_flops(t, d, depth, extra=0.0):
-        per_block = 12 * t * d * d + 2 * t * t * d
-        return 2.0 * (depth * per_block + extra)  # 2 flops per MAC
-
+    # MFU: analytic dense FLOPs per sample for the flagship towers
+    # (bench_common.tower_flops; train step ~= 3x forward).
     vit = tower_flops(325, 768, 12, extra=325 * 768 * (3 * 256) + 325 * 768 * 512)
     bert = tower_flops(25, 768, 12, extra=25 * 768 * 512)
     fwd_flops = vit + bert

@@ -36,19 +36,8 @@ import numpy as np
 import optax
 
 
-def timed_acc(fn, args, iters, trials=3):
-    """Median seconds/iter; fn(*args, acc) -> new acc (scalar)."""
-    acc = jnp.zeros((), jnp.float32)
-    float(fn(*args, acc))  # compile + warm
-    secs = []
-    for _ in range(trials):
-        acc = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            acc = fn(*args, acc)
-        float(acc)
-        secs.append((time.perf_counter() - t0) / iters)
-    return float(np.median(secs))
+from bench_common import timed_secs as timed_acc  # noqa: E402
+from bench_common import tower_flops  # noqa: E402
 
 
 def main():
@@ -143,8 +132,14 @@ def main():
         opt_state = set_lr(st.opt_state, 1e-4)
         updates, opt_state = tx.update(g, opt_state, st.params)
         p = optax.apply_updates(st.params, updates)
-        leaf = jax.tree.leaves(p)[0]
-        return acc + jnp.sum(leaf).astype(jnp.float32)
+        # the checksum must depend on EVERY updated leaf AND the new
+        # moments, or XLA dead-code-eliminates the bulk of the AdamW work
+        # (a single-leaf checksum measured near-zero here)
+        return (acc + optax.global_norm(p)
+                + optax.global_norm([x for x in jax.tree.leaves(opt_state)
+                                     if hasattr(x, "dtype")
+                                     and jnp.issubdtype(x.dtype,
+                                                        jnp.floating)]))
 
     results["optimizer"] = timed_acc(opt_only, (state, grads_once), args.iters)
 
@@ -158,7 +153,15 @@ def main():
         t0 = time.perf_counter()
         for i in range(args.iters):
             s, metrics = fn(s, batch, None, 1e-4)
+        # sync on the STATE, not just the loss: metrics['loss'] has no
+        # data dependency on the final iteration's optimizer apply, so a
+        # loss-only sync would let one update per trial escape the timed
+        # window in the restarted (nodonate) lane while the chained
+        # donated lane absorbs it — biasing the donation delta
         float(metrics["loss"])
+        # scalar D2H fetch (not block_until_ready — unreliable through the
+        # axon tunnel, see CLAUDE.md)
+        float(jnp.sum(jax.tree.leaves(s.params)[0]).astype(jnp.float32))
         return (time.perf_counter() - t0) / args.iters, s
 
     full_trial(step, state)  # compile + warm
@@ -194,9 +197,6 @@ def main():
     if cost:
         flops = cost.get("flops", float("nan"))
         bytes_ = cost.get("bytes accessed", float("nan"))
-        def tower_flops(t, d, depth, extra=0.0):
-            per_block = 12 * t * d * d + 2 * t * t * d
-            return 2.0 * (depth * per_block + extra)
         vit = tower_flops(325, 768, 12,
                           extra=325 * 768 * (3 * 256) + 325 * 768 * 512)
         bert = tower_flops(25, 768, 12, extra=25 * 768 * 512)

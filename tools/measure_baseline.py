@@ -226,8 +226,12 @@ def measure(size=288, trials=10, raw_hw=(375, 500), crf=dense_crf_fast):
     t_morph = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        d = cv2.dilate(mask, kernel, 5)
-        e = cv2.erode(d, kernel, 3)
+        # the reference passes stray positional ints (seg_evaluation.py:
+        # 158-159 `cv2.dilate(binary_mask, kernel, 5)`) that land in the
+        # `dst` argument, NOT `iterations` — verified: its morphology runs
+        # exactly ONE iteration each. Reproduce that explicitly.
+        d = cv2.dilate(mask, kernel, iterations=1)
+        e = cv2.erode(d, kernel, iterations=1)
         cv2.resize(e, dsize=(raw_hw[1], raw_hw[0]),
                    interpolation=cv2.INTER_NEAREST)
         t_morph.append(time.perf_counter() - t0)
