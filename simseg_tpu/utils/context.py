@@ -84,5 +84,17 @@ def root_only(fn: Callable) -> Callable:
     return wrapper
 
 
-# On TPU every process is its own host; local_root == root per process.
-local_root_only = root_only
+def local_root_only(fn: Callable) -> Callable:
+    """Run on each host's local root (parity: context.py local_root_only,
+    which gates to local_rank == 0 — once per node). One TPU process drives
+    all of its host's chips, so every process IS its host's local root and
+    the gate always passes; per-host work (local cache dirs, per-host logs)
+    must run on every process, not only the global root."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if ENV.local_rank == 0:
+            return fn(*args, **kwargs)
+        return None
+
+    return wrapper

@@ -80,6 +80,31 @@ def test_env_context():
     assert calls == [5]
 
 
+def test_local_root_only_runs_on_every_process(monkeypatch):
+    # With one process per TPU host, every process is its host's local root:
+    # local_root_only must pass even when the GLOBAL rank is nonzero
+    # (reference gates to local_rank == 0, i.e. once per node — NOT once
+    # per job), while root_only keeps gating to the global root.
+    from simseg_tpu.utils.context import GlobalContext, local_root_only
+
+    monkeypatch.setattr(GlobalContext, "rank", property(lambda self: 3))
+    assert not ENV.is_root
+
+    ran = []
+
+    @local_root_only
+    def local_work():
+        ran.append("local")
+
+    @root_only
+    def root_work():
+        ran.append("root")
+
+    local_work()
+    root_work()
+    assert ran == ["local"]
+
+
 def test_grad_reverse():
     g = jax.grad(lambda x: jnp.sum(grad_reverse(x, 2.0)))(jnp.ones(3))
     np.testing.assert_allclose(np.asarray(g), -2.0)
