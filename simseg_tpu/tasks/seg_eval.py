@@ -35,7 +35,18 @@ GT_CANVAS = {"pascal_voc": 512, "pascal_context": 512, "coco_stuff": 640}
 
 
 def load_label_bank(name: str, data_root: str = "data") -> List[str]:
+    """Class-name list for a seg benchmark (parity: the reference reads
+    ``data/label_category/<name>.txt`` relative to the working directory,
+    tools/seg_evaluation.py:243-245). A copy of the canonical banks ships
+    as package data, used when the data_root layout doesn't carry one —
+    e.g. a pip-installed framework pointed straight at a dataset tree."""
     path = os.path.join(data_root, "label_category", f"{name}.txt")
+    if not os.path.exists(path):
+        packaged = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "label_category",
+            f"{name}.txt")
+        if os.path.exists(packaged):
+            path = packaged
     with open(path) as f:
         return [l.strip() for l in f if l.strip()]
 
