@@ -21,7 +21,7 @@ Reference parity map lives in SURVEY.md at the repo root; individual modules
 cite the reference file/lines they provide parity with.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 # Lazy public API: heavy submodules (jax tracing, flax) load on first use.
 _PUBLIC = {

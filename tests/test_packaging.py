@@ -34,3 +34,11 @@ def test_load_label_bank_prefers_data_root(tmp_path):
     (d / "pascal_voc.txt").write_text("background\ncustom\n")
     bank = load_label_bank("pascal_voc", data_root=str(tmp_path))
     assert bank == ["background", "custom"]
+
+
+def test_version_matches_pyproject():
+    import re
+
+    text = open(os.path.join(REPO, "pyproject.toml")).read()
+    pv = re.search(r'^version = "([^"]+)"', text, re.M).group(1)
+    assert simseg_tpu.__version__ == pv
