@@ -46,6 +46,11 @@ def load_label_bank(name: str, data_root: str = "data") -> List[str]:
             os.path.abspath(__file__))), "data", "label_category",
             f"{name}.txt")
         if os.path.exists(packaged):
+            logger.warning(
+                f"label bank not found at {path!r}; falling back to the "
+                f"packaged canonical {name} bank — if you meant to supply "
+                "a custom class list, fix data_root"
+            )
             path = packaged
     with open(path) as f:
         return [l.strip() for l in f if l.strip()]

@@ -16,8 +16,13 @@ def test_child_on_non_cpu_platform_fails_fast_without_backend_init():
     # A (mis-provisioned) child on a non-CPU platform must raise the
     # refusing-to-re-fork error immediately — NOT call jax.devices(),
     # which would block in tunneled-TPU backend init. Regression test for
-    # the observed 15-minute zero-CPU hang. The env var tells the axon
-    # plugin nothing is listening; only a jax.devices() call would hang.
+    # the observed 15-minute zero-CPU hang. PYTHONPATH is overwritten to
+    # REPO, which drops /root/.axon_site and thereby unregisters the axon
+    # PJRT plugin — so a regressed jax.devices() call fails fast with
+    # "Backend 'axon' is not in the list of known backends" instead of
+    # hanging on the tunnel. (Appending per CLAUDE.md's TPU-run rule would
+    # keep the plugin registered and make a regression genuinely attempt
+    # tunnel contact.)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "axon"
     env["_GRAFT_DRYRUN_CHILD"] = "1"

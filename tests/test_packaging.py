@@ -36,9 +36,13 @@ def test_load_label_bank_prefers_data_root(tmp_path):
     assert bank == ["background", "custom"]
 
 
-def test_version_matches_pyproject():
-    import re
-
+def test_version_is_dynamic_from_package():
+    # pyproject must source the version from simseg_tpu.__version__ (no
+    # second hardcoded literal to drift; see the 0.1.0/0.3.0 divergence
+    # this replaced)
     text = open(os.path.join(REPO, "pyproject.toml")).read()
-    pv = re.search(r'^version = "([^"]+)"', text, re.M).group(1)
-    assert simseg_tpu.__version__ == pv
+    assert 'dynamic = ["version"]' in text
+    assert 'version = { attr = "simseg_tpu.__version__" }' in text
+    assert not any(
+        line.startswith('version = "') for line in text.splitlines()
+    )
