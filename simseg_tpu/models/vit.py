@@ -64,13 +64,21 @@ class ViTAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 attention_bias=None, return_keys: bool = False):
         b, t, d = x.shape
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = multi_head_attention(q, k, v, self.num_heads, dtype=self.dtype)
+        out = multi_head_attention(q, k, v, self.num_heads,
+                                   attention_bias=attention_bias,
+                                   dtype=self.dtype)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if return_keys:
+            # token-merging similarity metric: attention keys, mean over
+            # heads (ToMe's best-performing metric)
+            hd = d // self.num_heads
+            return out, k.reshape(b, t, self.num_heads, hd).mean(axis=2)
         return out
 
 
@@ -84,14 +92,35 @@ class ViTBlock(nn.Module):
     moe_experts: int = 0
     moe_capacity: float = 1.25
     expert_sharding: Optional[Any] = None
+    # token merging (beyond reference, ops/tome.py): merge the tome_r most
+    # similar token pairs between attention and MLP. When set, the block's
+    # input/output is the carry tuple (x, sizes, gather_map) instead of x —
+    # same positional signature, so the remat wrapper's static_argnums is
+    # unchanged.
+    tome_r: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x, deterministic: bool = True):
+        from simseg_tpu.ops.tome import (bipartite_merge, size_bias,
+                                         update_gather_map)
+
+        sizes = gather_map = attn_bias = None
+        if self.tome_r > 0:
+            x, sizes, gather_map = x
+            # proportional attention: softmax mass ~ merged-group size
+            attn_bias = size_bias(sizes, self.dtype)
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + ViTAttention(self.num_heads, self.dropout, self.dtype, name="attn")(
-            y, deterministic
-        )
+        attn = ViTAttention(self.num_heads, self.dropout, self.dtype,
+                            name="attn")
+        if self.tome_r > 0:
+            attn_out, keys = attn(y, deterministic, attention_bias=attn_bias,
+                                  return_keys=True)
+            x = x + attn_out
+            x, sizes, old2new = bipartite_merge(x, sizes, keys, self.tome_r)
+            gather_map = update_gather_map(gather_map, old2new)
+        else:
+            x = x + attn(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         if self.moe_experts > 0:
             from simseg_tpu.ops.moe import MoEMlp
@@ -103,6 +132,8 @@ class ViTBlock(nn.Module):
             mlp_out = ViTMlp(int(d * self.mlp_ratio), d, self.dropout,
                              self.dtype, name="mlp")(y, deterministic)
         x = x + mlp_out
+        if self.tome_r > 0:
+            return x, sizes, gather_map
         return x
 
 
@@ -138,6 +169,14 @@ class VisionTransformer(nn.Module):
     moe_every: int = 2
     moe_capacity: float = 1.25
     expert_sharding: Optional[Any] = None
+    # token merging (beyond reference, ops/tome.py): every block merges the
+    # tome_r most similar token pairs (325 -> 133 tokens over 12 blocks at
+    # r=16), cutting attention+MLP cost as depth grows; the tower unmerges
+    # at the end so the (B, 1+N, D) output contract is unchanged (merged
+    # groups share a feature row). Opt-in quality/speed trade — enable via
+    # model.image_encoder.arch="{'tome_r': 16}". Not supported under
+    # pipeline parallelism (stage stacks need homogeneous token counts).
+    tome_r: int = 0
     # sequence parallelism (beyond reference): a NamedSharding for the
     # (B, T, D) residual stream, token dim sharded over the tensor-parallel
     # 'model' mesh axis. Constraining between blocks lets GSPMD run the
@@ -191,6 +230,7 @@ class VisionTransformer(nn.Module):
                       moe_experts=self.moe_experts if is_moe(i) else 0,
                       moe_capacity=self.moe_capacity,
                       expert_sharding=self.expert_sharding,
+                      tome_r=self.tome_r,
                       name=f"blocks_{i}")
             for i in range(self.depth)
         ]
@@ -233,6 +273,18 @@ class VisionTransformer(nn.Module):
     def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """images: (B, H, W, 3) NHWC float. Returns (B, 1+N, D)."""
         x = self._constrain(self.embed(images, deterministic))
+        if self.tome_r > 0:
+            from simseg_tpu.ops.tome import unmerge
+
+            b, t = x.shape[:2]
+            sizes = jnp.ones((b, t), jnp.float32)
+            gather_map = jnp.broadcast_to(
+                jnp.arange(t, dtype=jnp.int32), (b, t))
+            carry = (x, sizes, gather_map)
+            for block in self.blocks:
+                x, sizes, gather_map = block(carry, deterministic)
+                carry = (self._constrain(x), sizes, gather_map)
+            return unmerge(self.head(carry[0]), gather_map)
         for block in self.blocks:
             x = self._constrain(block(x, deterministic))
         return self.head(x)

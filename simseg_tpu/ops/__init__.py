@@ -14,6 +14,7 @@ from simseg_tpu.ops.losses import (
 from simseg_tpu.ops.morphology import closing, dilate, erode, nearest_upsample
 from simseg_tpu.ops.pooling import avg_pool, l2_normalize, topk_pool
 from simseg_tpu.ops.seg_decode import make_seg_decode_fn
+from simseg_tpu.ops.tome import bipartite_merge, unmerge, update_gather_map
 
 __all__ = [
     "multi_head_attention",
@@ -38,4 +39,7 @@ __all__ = [
     "l2_normalize",
     "topk_pool",
     "make_seg_decode_fn",
+    "bipartite_merge",
+    "unmerge",
+    "update_gather_map",
 ]

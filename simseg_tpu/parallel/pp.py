@@ -155,6 +155,11 @@ def make_pp_forward(model, mesh: Mesh, n_micro: int):
             "pipeline parallelism does not combine with MoE blocks (the "
             "stage stack needs homogeneous block params, and the pp forward "
             "would drop the MoE aux loss)")
+    if int(dict(model.image_arch or ()).get("tome_r", 0) or 0) > 0:
+        raise NotImplementedError(
+            "pipeline parallelism does not combine with token merging "
+            "(tome_r shrinks the token count per block; the pipelined "
+            "stage stack needs a homogeneous sequence length)")
     if getattr(model, "dropout", 0.0) or (
             model.projection_name == "complex"
             and getattr(model, "projection_dropout", 0.0)):

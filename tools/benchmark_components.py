@@ -113,6 +113,22 @@ def main():
     results["image_tower_fwd_moe8"] = timed(
         moe_image_fwd, (moe_params, images), b, args.iters)
 
+    # token-merging tower (beyond reference, ops/tome.py): r=16 shrinks
+    # 325 -> 133 tokens over the 12 blocks (~30% fewer block FLOPs); same
+    # params, unmerged full-sequence output. Measures the net win after
+    # the per-block matching/merge overhead.
+    for tome_r in (8, 16):
+        tome_model = model.clone(image_arch=(("tome_r", tome_r),))
+
+        @jax.jit
+        def tome_image_fwd(p, x, acc):
+            t = tome_model.apply(
+                p, x, method=lambda m, im: m.forward_image_tokens(im))
+            return acc + jnp.sum(t).astype(jnp.float32)
+
+        results[f"image_tower_fwd_tome{tome_r}"] = timed(
+            tome_image_fwd, (params, images), b, args.iters)
+
     # full contrastive train step (fwd + bwd + AdamW), flagship model
     from simseg_tpu.core.optim import build_optimizer
     from simseg_tpu.engine import TrainState, make_train_step

@@ -433,11 +433,16 @@ def build_fixture(root, n_images: int, n_classes: int, seed: int,
 
 
 def make_parity_cfg(root, n_images: int, size: int = 288,
-                    batch_size_val: int = 2):
+                    batch_size_val: int = 2, tome_r: int = 0):
     from simseg_tpu.config import new_base_cfg, update_cfg
     from simseg_tpu.tasks.clip.config import task_cfg_init_fn
 
-    return update_cfg(task_cfg_init_fn, None, argv=[
+    return update_cfg(task_cfg_init_fn, None, argv=([
+        # quality cost of token merging (ops/tome.py): the torch reference
+        # side stays exact, so the reported disagreement quantifies what
+        # tome_r trades for its speedup at production settings
+        f"model.image_encoder.arch={{'tome_r':{int(tome_r)}}}",
+    ] if tome_r else []) + [
         f"data.data_path={root}/",
         f"data.batch_size_val={batch_size_val}",
         "data.num_workers=1",
@@ -465,14 +470,14 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
 
 
 def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
-               size: int = 288, root=None) -> dict:
+               size: int = 288, root=None, tome_r: int = 0) -> dict:
     """Run both pipelines on the same fixture; return the metric dict.
     Owns (and removes) a temp fixture dir unless ``root`` is given."""
     owns_root = root is None
     if owns_root:
         root = tempfile.mkdtemp(prefix="seg_parity_")
     try:
-        return _run_parity(root, n_images, n_classes, seed, size)
+        return _run_parity(root, n_images, n_classes, seed, size, tome_r)
     finally:
         if owns_root:
             import shutil
@@ -480,7 +485,7 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
             shutil.rmtree(root, ignore_errors=True)
 
 
-def _run_parity(root, n_images, n_classes, seed, size) -> dict:
+def _run_parity(root, n_images, n_classes, seed, size, tome_r=0) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -499,7 +504,7 @@ def _run_parity(root, n_images, n_classes, seed, size) -> dict:
 
     classes, tmodel, ckpt = build_fixture(root, n_images, n_classes, seed,
                                           size)
-    cfg = make_parity_cfg(root, n_images, size)
+    cfg = make_parity_cfg(root, n_images, size, tome_r=tome_r)
 
     # shared tokenizer: specials + every word the prompt bank and class
     # names can produce
@@ -640,6 +645,7 @@ def _run_parity(root, n_images, n_classes, seed, size) -> dict:
         n_classes=n_classes,
         seed=seed,
         size=size,
+        tome_r=tome_r,
         pixel_disagreement=disagree / max(valid_total, 1),
         candidate_set_flips=flips,
         miou_ours=float(miou_ours),
@@ -656,8 +662,11 @@ def main():
     ap.add_argument("--classes", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--size", type=int, default=288)
+    ap.add_argument("--tome_r", type=int, default=0,
+                    help="token merging r (quality-cost measurement)")
     args = ap.parse_args()
-    out = run_parity(args.images, args.classes, args.seed, args.size)
+    out = run_parity(args.images, args.classes, args.seed, args.size,
+                     tome_r=args.tome_r)
     print(json.dumps(out))
 
 
