@@ -198,3 +198,49 @@ def test_clip_model_tome_via_arch():
     img, txt, temp = model.apply(params, batch, deterministic=True)
     assert img.shape == (2, 16) and txt.shape == (2, 16)
     assert np.isfinite(np.asarray(img)).all()
+
+
+@pytest.mark.parametrize("mode", ["tp", "fsdp"])
+def test_tome_train_step_composes_with_sharded_towers(mode):
+    """A ToMe tower trained under tp=2 / FSDP sharding matches plain DP
+    numerics (backs the PARITY.md composition claim; pp refuses tome_r).
+
+    Merge choices ride argmax/top_k over key similarities, so this also
+    guards against sharded-execution reduction orderings flipping the
+    matching itself."""
+    from simseg_tpu.core.optim import build_optimizer
+    from simseg_tpu.engine import TrainState, make_train_step
+    from simseg_tpu.parallel import make_mesh, shard_batch
+    from tests.test_models import tiny_clip
+    from tests.test_train_step import _batch, _cfg
+    from simseg_tpu.utils.collections import AttrDict
+
+    model = tiny_clip(image_arch=(("tome_r", 2),))
+    batch = _batch(16)
+    params = model.init(jax.random.key(0), batch)
+    cfg = _cfg()
+    cfg.optim.name = "torch.optim.SGD"
+    cfg.optim.param = AttrDict(momentum=0.9)
+
+    dp_mesh = make_mesh()
+    tx1, set_lr1 = build_optimizer(cfg, params)
+    s1 = TrainState.create(params, tx1)
+    step1 = make_train_step(model, tx1, set_lr1, mesh=dp_mesh, donate=False)
+    b1 = shard_batch(batch, dp_mesh)
+
+    mesh = make_mesh(tp_size=2) if mode == "tp" else make_mesh()
+    tx2, set_lr2 = build_optimizer(cfg, params)
+    s2 = TrainState.create(params, tx2)
+    kw = dict(fsdp=True, fsdp_min_size=64) if mode == "fsdp" else {}
+    factory = make_train_step(model, tx2, set_lr2, mesh=mesh, donate=False,
+                              **kw)
+    step2, s2 = factory(s2)
+    b2 = shard_batch(batch, mesh)
+
+    for _ in range(3):
+        s1, m1 = step1(s1, b1, None, 1e-3)
+        s2, m2 = step2(s2, b2, None, 1e-3)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-6)
