@@ -98,6 +98,11 @@ class ViTBlock(nn.Module):
     # same positional signature, so the remat wrapper's static_argnums is
     # unchanged.
     tome_r: int = 0
+    # first block of the tome chain: sizes are statically all-ones there,
+    # so the proportional-attention bias is identically zero — pass None
+    # instead, keeping block 0 eligible for the bias-free flash kernels
+    # (every gate in ops/flash_attention.py requires attention_bias=None)
+    tome_first: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -106,9 +111,15 @@ class ViTBlock(nn.Module):
 
         sizes = gather_map = attn_bias = None
         if self.tome_r > 0:
+            if not (isinstance(x, tuple) and len(x) == 3):
+                raise TypeError(
+                    "ViTBlock(tome_r>0) takes the (x, sizes, gather_map) "
+                    f"carry tuple, got {type(x).__name__}"
+                )
             x, sizes, gather_map = x
             # proportional attention: softmax mass ~ merged-group size
-            attn_bias = size_bias(sizes, self.dtype)
+            if not self.tome_first:
+                attn_bias = size_bias(sizes, self.dtype)
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         attn = ViTAttention(self.num_heads, self.dropout, self.dtype,
@@ -231,6 +242,7 @@ class VisionTransformer(nn.Module):
                       moe_capacity=self.moe_capacity,
                       expert_sharding=self.expert_sharding,
                       tome_r=self.tome_r,
+                      tome_first=(self.tome_r > 0 and i == 0),
                       name=f"blocks_{i}")
             for i in range(self.depth)
         ]
