@@ -55,6 +55,12 @@ def main() -> None:
     from __graft_entry__ import _flagship_model
 
     model = _flagship_model()
+    # opt-in token-merging lane (ops/tome.py): SIMSEG_BENCH_TOME=16 measures
+    # the r=16 tower (quality cost quantified in BASELINE.md). The default
+    # headline stays the exact pipeline.
+    tome_r = int(os.environ.get("SIMSEG_BENCH_TOME", "0") or 0)
+    if tome_r > 0:
+        model = model.clone(image_arch=(("tome_r", tome_r),))
     num_classes = 21  # PASCAL VOC label bank
 
     rng = np.random.default_rng(0)
@@ -139,6 +145,8 @@ def main() -> None:
         if have_decode
         else "seg_backbone_images_per_sec_vitb288"
     )
+    if tome_r > 0:
+        metric += f"_tome{tome_r}"
     baseline = reference_rate()
     print(
         json.dumps(
