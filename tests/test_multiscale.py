@@ -93,3 +93,24 @@ def test_vit_variable_resolution_pos_embed():
     out48 = model.apply(params, jnp.ones((2, 48, 48, 3)))
     assert out48.shape == (2, 1 + 36, 32)
     assert np.all(np.isfinite(np.asarray(out24)))
+
+
+def test_multi_scale_with_token_merging():
+    """The full fused eval forward composes with tome_r (ops/tome.py): the
+    tower unmerges before the decode, so every scale's dense map keeps the
+    per-patch layout the decode expects."""
+    cfg = _cfg("[1.0,0.75,1.25]")
+    model = tiny_clip(image_arch=(("tome_r", 2),))
+    dummy = {
+        "image": jnp.zeros((1, 32, 32, 3)),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), dummy)
+    fwd = make_seg_forward(model, cfg, num_classes=6, top_cls_num=4,
+                           canvas=64, patch_size=8)
+    images, tb, labels, h, w = _inputs()
+    inter, union = fwd(params, images, tb, labels, h, w)
+    assert inter.shape == (6,)
+    assert np.all(np.isfinite(np.asarray(inter)))
+    assert np.all(np.asarray(union) >= np.asarray(inter))
