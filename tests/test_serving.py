@@ -215,3 +215,31 @@ def test_embed_artifact_roundtrip(tmp_path):
                                rtol=1e-6)
     # weights are baked in: the artifact has exactly the data inputs
     assert img.shape == (4, 16) and txt.shape == (4, 16)
+
+
+def test_seg_artifact_with_token_merging(tmp_path):
+    """ToMe towers export/serve like any other (ops/tome.py is static-shaped
+    dense algebra): artifact output is bit-identical to the live jit."""
+    model = tiny_clip(image_arch=(("tome_r", 2),))
+    batch = {
+        "image": jnp.zeros((1, 32, 32, 3), jnp.float32),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch)
+    rng = np.random.default_rng(1)
+    bank = rng.normal(size=(5, 16)).astype(np.float32)
+    fn = serving.make_seg_infer_fn(model, params, jnp.asarray(bank),
+                                   _seg_cfg(), num_classes=5, top_cls_num=3,
+                                   patch_size=8)
+    raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    direct_pred, direct_conf = jax.jit(fn)(raw)
+
+    data = serving.export_artifact(fn, (raw,))
+    path = tmp_path / "seg_tome.shlo"
+    serving.save_artifact(str(path), data)
+    pred, conf = serving.load_artifact(str(path))(raw)
+
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(direct_pred))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(direct_conf),
+                               rtol=1e-6)
