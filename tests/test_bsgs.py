@@ -258,3 +258,21 @@ def test_bsgs_train_step_factory_on_sharded_towers(knobs):
 
         qkv = placed.params["params"]["image_encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
         assert MODEL_AXIS in str(qkv.sharding.spec)
+
+
+def test_bsgs_with_token_merging_matches_direct():
+    """ToMe merge choices are deterministic in (params, data), so BSGS's
+    re-forward reproduces the first pass's merges exactly and the two-pass
+    surrogate still matches direct autodiff (ops/tome.py)."""
+    model = tiny_clip(image_arch=(("tome_r", 2),))
+    batch = _batch(16, seed=5)
+    params = model.init(jax.random.key(0), batch)
+
+    direct = jax.grad(
+        lambda p: clip_loss_fn(model, p, batch, None)[0]
+    )(params)
+    grads, metrics = jax.jit(make_bsgs_grad_fn(model, 4))(params, batch)
+    for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
