@@ -161,6 +161,28 @@ def main():
         rates.append(r)
     results["clip_train_step"] = float(np.median(rates))
 
+    # train step with the token-merging tower (same param tree, so the
+    # optimizer state shape is unchanged): measures how much of the tome
+    # forward win survives the bwd pass + optimizer
+    tome16 = model.clone(image_arch=(("tome_r", 16),))
+    step16 = make_train_step(tome16, tx, set_lr, donate=False)
+    s16 = TrainState.create(params, tx)
+
+    def tome_train_fn(s):
+        t0 = time.perf_counter()
+        iters = max(args.iters // 2, 5)
+        for i in range(iters):
+            s, metrics = step16(s, train_batch, jax.random.key(i), 1e-4)
+        float(metrics["loss"])  # sync
+        return b * iters / (time.perf_counter() - t0), s
+
+    _, s16 = tome_train_fn(s16)  # compile + warm
+    rates = []
+    for _ in range(3):
+        r, s16 = tome_train_fn(s16)
+        rates.append(r)
+    results["clip_train_step_tome16"] = float(np.median(rates))
+
     # MFU: analytic dense FLOPs per sample for the flagship towers
     # (bench_common.tower_flops; train step ~= 3x forward).
     vit = tower_flops(325, 768, 12, extra=325 * 768 * (3 * 256) + 325 * 768 * 512)
