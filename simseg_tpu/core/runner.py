@@ -374,6 +374,15 @@ class CLIPRunner(EpochRunner):
                     f"runner 'clip_bsgs' supports loss NCE/MixUpNCE, got "
                     f"'{loss_name}' (use runner.name='clip')"
                 )
+            if cfg.loss.get("extra_losses", None):
+                # the additive extra terms ride clip_loss_fn's generic
+                # compute() path; the analytic two-pass gradient has no
+                # hook for them — refuse rather than silently dropping
+                # configured loss terms
+                raise NotImplementedError(
+                    "runner 'clip_bsgs' does not support loss.extra_losses "
+                    "(use runner.name='clip')"
+                )
             if (isinstance(self.train_state.params, dict)
                     and "batch_stats" in self.train_state.params
                     and not cfg.model.get("freeze_cnn_bn", False)):

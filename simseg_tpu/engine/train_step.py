@@ -304,10 +304,10 @@ def clip_loss_fn(
         blk = n // s if (s > 1 and n % s == 0) else n
         i2t, i2t_acc = mixup_nce(img, txt, temp, lam, flip_block=blk,
                                  ignore_mask=batch.get("ignore_mask"),
-                                 smoothing=smoothing)
+                                 smoothing=smoothing, group_size=group_size)
         t2i, t2i_acc = mixup_nce(txt, img, temp, lam, flip_block=blk,
                                  ignore_mask=batch.get("ignore_mask"),
-                                 smoothing=smoothing)
+                                 smoothing=smoothing, group_size=group_size)
         loss = 0.5 * (i2t + t2i)
         accs = {"i2t_acc": i2t_acc, "t2i_acc": t2i_acc}
     else:

@@ -134,17 +134,45 @@ def mixup_nce(
     flip_block: int,
     ignore_mask: Optional[jnp.ndarray] = None,
     smoothing: float = 0.0,
+    group_size: int = -1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """InfoNCE with single-modality mixup (parity: mml_loss.py:146-197):
     ``alpha * CE(logits, targets) + (1-alpha) * CE(logits, flip_targets)``
-    where flip targets reverse each micro-block of ``flip_block`` rows."""
+    where flip targets reverse each micro-block of ``flip_block`` rows.
+
+    group_size: if >0, negatives are restricted to contiguous groups of
+    this many samples (block-diagonal logits, same semantics as
+    ``info_nce``). Flip blocks must nest inside groups so both CE terms'
+    targets stay within each row's group (the BSGS path enforces the same
+    nesting, engine/bsgs.py)."""
     n = feat1.shape[0]
     ignore = jnp.zeros((n,), feat1.dtype) if ignore_mask is None else ignore_mask.astype(feat1.dtype)
     feat2 = feat2 * (1.0 - ignore)[:, None]
-    logits = jnp.dot(feat1, feat2.T, preferred_element_type=jnp.float32) / temperature
     targets = jnp.arange(n)
     base = targets // flip_block * flip_block
     flip_targets = base + (flip_block - 1 - targets % flip_block)
+
+    if group_size and 0 < group_size < n:
+        if n % group_size != 0:
+            raise ValueError(f"group_size {group_size} must divide batch {n}")
+        if group_size % flip_block != 0:
+            raise ValueError(
+                f"mixup flip blocks must nest inside group_size groups: "
+                f"flip {flip_block}, group {group_size}")
+        g = n // group_size
+        f1 = feat1.reshape(g, group_size, -1)
+        f2 = feat2.reshape(g, group_size, -1)
+        logits = jnp.einsum("gnd,gmd->gnm", f1, f2,
+                            preferred_element_type=jnp.float32) / temperature
+        logits = logits.reshape(n, group_size)
+        # nesting guarantees each row's flip target lives in its own group,
+        # so the within-group column index is just the global index mod gs
+        targets = targets % group_size
+        flip_targets = flip_targets % group_size
+    else:
+        logits = jnp.dot(feat1, feat2.T,
+                         preferred_element_type=jnp.float32) / temperature
+
     per_row = alpha * _ce(logits, targets, smoothing) + (1 - alpha) * _ce(
         logits, flip_targets, smoothing
     )

@@ -122,6 +122,26 @@ def pipeline_blocks(block_module, stacked, x: jnp.ndarray, mesh: Mesh,
     return run(staged, x)
 
 
+def _refuse_heterogeneous_tower(model) -> None:
+    """The pipelined stage stack scans ONE homogeneous ViTBlock over stacked
+    params, so towers whose blocks differ (MoE every-nth, token merging's
+    shrinking sequence) cannot be expressed — and because neither feature
+    adds required params to the plain block, running anyway would *silently*
+    compute the non-MoE / non-merged forward. Refuse loudly instead (repo
+    convention)."""
+    if (int(dict(model.image_arch or ()).get("moe_experts", 0) or 0) > 0
+            or int(dict(model.text_arch or ()).get("moe_experts", 0) or 0) > 0):
+        raise NotImplementedError(
+            "pipeline parallelism does not combine with MoE blocks (the "
+            "stage stack needs homogeneous block params, and the pp forward "
+            "would drop the MoE aux loss)")
+    if int(dict(model.image_arch or ()).get("tome_r", 0) or 0) > 0:
+        raise NotImplementedError(
+            "pipeline parallelism does not combine with token merging "
+            "(tome_r shrinks the token count per block; the pipelined "
+            "stage stack needs a homogeneous sequence length)")
+
+
 def pp_image_tokens(model, params, images: jnp.ndarray, mesh: Mesh,
                     n_micro: int) -> jnp.ndarray:
     """Pipelined ViT forward: embed (replicated) -> pipelined blocks ->
@@ -129,6 +149,7 @@ def pp_image_tokens(model, params, images: jnp.ndarray, mesh: Mesh,
     equal to ``model.image_encoder(images)``."""
     from simseg_tpu.models.vit import ViTBlock, resolve_vit_config
 
+    _refuse_heterogeneous_tower(model)
     spec = resolve_vit_config(model.image_tag, dict(model.image_arch or ()))
     block = ViTBlock(num_heads=spec["num_heads"],
                      mlp_ratio=spec.get("mlp_ratio", 4.0),
@@ -149,17 +170,7 @@ def make_pp_forward(model, mesh: Mesh, n_micro: int):
     if "vit" not in model.image_tag:
         raise NotImplementedError(
             "pipeline parallelism is implemented for the ViT image tower")
-    if (int(dict(model.image_arch or ()).get("moe_experts", 0) or 0) > 0
-            or int(dict(model.text_arch or ()).get("moe_experts", 0) or 0) > 0):
-        raise NotImplementedError(
-            "pipeline parallelism does not combine with MoE blocks (the "
-            "stage stack needs homogeneous block params, and the pp forward "
-            "would drop the MoE aux loss)")
-    if int(dict(model.image_arch or ()).get("tome_r", 0) or 0) > 0:
-        raise NotImplementedError(
-            "pipeline parallelism does not combine with token merging "
-            "(tome_r shrinks the token count per block; the pipelined "
-            "stage stack needs a homogeneous sequence length)")
+    _refuse_heterogeneous_tower(model)
     if getattr(model, "dropout", 0.0) or (
             model.projection_name == "complex"
             and getattr(model, "projection_dropout", 0.0)):

@@ -276,3 +276,45 @@ def test_bsgs_with_token_merging_matches_direct():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
+
+
+def test_bsgs_with_mixup_and_group_matches_direct():
+    """Mixup + group-limited negatives together: the BSGS analytic path and
+    clip-side mixup_nce(group_size=...) are independent implementations of
+    the same objective, so their gradients must agree (code-review finding:
+    the plain runner used to silently drop group_size under MixUpNCE)."""
+    from simseg_tpu.engine.train_step import mixup_lambda
+    from simseg_tpu.ops.losses import mixup_nce
+
+    model = tiny_clip()
+    num_micro, b, gs = 2, 8, 4
+    mb = b // num_micro
+    batch = _batch(b, seed=21)
+    params = model.init(jax.random.key(0), batch)
+    rng = jax.random.key(22)
+    lam = float(mixup_lambda(rng, None, 0.2))
+
+    def direct_loss(p):
+        img = batch["image"].reshape(num_micro, mb, *batch["image"].shape[1:])
+        flipped = img[:, ::-1].reshape(batch["image"].shape)
+        mixed = dict(batch)
+        mixed["image"] = lam * batch["image"] + (1.0 - lam) * flipped
+        i_emb, t_emb, temp = model.apply(p, mixed, deterministic=True)
+        i_emb = i_emb.astype(jnp.float32)
+        t_emb = t_emb.astype(jnp.float32)
+        i2t, _ = mixup_nce(i_emb, t_emb, temp, lam, flip_block=mb,
+                           group_size=gs)
+        t2i, _ = mixup_nce(t_emb, i_emb, temp, lam, flip_block=mb,
+                           group_size=gs)
+        return 0.5 * (i2t + t2i)
+
+    direct = jax.grad(direct_loss)(params)
+    grads, metrics = jax.jit(
+        make_bsgs_grad_fn(model, num_micro, group_size=gs, mixup=True,
+                          mixup_alpha_param=0.2)
+    )(params, batch, rng)
+    for a, b_ in zip(jax.tree.leaves(direct), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-5)
+    assert float(metrics["loss"]) == pytest.approx(float(direct_loss(params)),
+                                                   rel=1e-4)

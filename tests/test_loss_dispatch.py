@@ -215,3 +215,58 @@ def test_mixup_per_shard_on_mesh_matches_single_device():
     meshed = fn(jax.device_put(params, repl), sharded,
                 jax.device_put(rng, repl))
     assert float(meshed) == pytest.approx(float(single), rel=1e-5)
+
+
+def test_mixup_nce_group_blocks_negatives():
+    """mixup_nce with group_size equals averaging the per-group losses
+    computed independently (negatives never cross groups), for nested flip
+    blocks (code-review finding: the group knob was silently dropped)."""
+    import jax.numpy as jnp
+
+    from simseg_tpu.ops.losses import mixup_nce
+
+    rng = np.random.default_rng(7)
+    n, d, gs, fb = 8, 6, 4, 2
+    f1 = rng.normal(size=(n, d)).astype(np.float32)
+    f2 = rng.normal(size=(n, d)).astype(np.float32)
+    f1 /= np.linalg.norm(f1, axis=1, keepdims=True)
+    f2 /= np.linalg.norm(f2, axis=1, keepdims=True)
+    temp = jnp.asarray(0.1, jnp.float32)
+    lam = jnp.asarray(0.7, jnp.float32)
+
+    loss, _ = mixup_nce(jnp.asarray(f1), jnp.asarray(f2), temp, lam,
+                        flip_block=fb, group_size=gs)
+    per_group = [
+        mixup_nce(jnp.asarray(f1[i:i + gs]), jnp.asarray(f2[i:i + gs]),
+                  temp, lam, flip_block=fb)[0]
+        for i in range(0, n, gs)
+    ]
+    np.testing.assert_allclose(float(loss),
+                               float(np.mean([float(x) for x in per_group])),
+                               rtol=1e-6)
+
+    # a flip block that crosses group boundaries must refuse loudly
+    with pytest.raises(ValueError, match="nest"):
+        mixup_nce(jnp.asarray(f1), jnp.asarray(f2), temp, lam,
+                  flip_block=8, group_size=gs)
+
+
+def test_bsgs_rejects_extra_losses():
+    """runner.name='clip_bsgs' with loss.extra_losses must refuse loudly
+    instead of silently dropping the configured terms (code-review
+    finding); the plain 'clip' runner trains them."""
+    from simseg_tpu.config import new_base_cfg, update_cfg
+    from simseg_tpu.core.runner import CLIPRunner
+    from simseg_tpu.tasks.clip.config import task_cfg_init_fn
+
+    cfg = update_cfg(task_cfg_init_fn, None, argv=[
+        "dist.bf16=false",
+        "runner.name=clip_bsgs",
+        "model.max_length=12",
+        "transforms.input_size=32",
+        "data.batch_size=8",
+        "data.batch_size_train=4",
+        "loss.extra_losses=['MSE']",
+    ], target=new_base_cfg())
+    with pytest.raises(NotImplementedError, match="extra_losses"):
+        CLIPRunner(cfg, tiny_clip(), {"train": [], "val": []})

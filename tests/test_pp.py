@@ -168,3 +168,26 @@ def test_pp_rejects_indivisible():
     with pytest.raises(ValueError, match="pp_micro"):
         jax.jit(lambda p, im: pp_image_tokens(model, p, im, mesh, 3))(
             params, shard_batch(batch, mesh)["image"])
+
+
+def test_pp_refuses_token_merging_and_moe_at_every_altitude():
+    """Both make_pp_forward AND the exported pp_image_tokens must refuse
+    heterogeneous towers (ToMe, MoE): neither feature adds required params
+    to the plain scanned block, so running anyway would *silently* compute
+    a different forward (code-review finding)."""
+    from simseg_tpu.parallel import make_pp_forward
+
+    mesh = make_mesh(pp_size=2)
+    tome_model = tiny_clip(image_arch=(("tome_r", 2),))
+    moe_model = tiny_clip(image_arch=(("moe_experts", 4),))
+    batch = _batch(8)
+    params = tome_model.init(jax.random.key(0), batch)
+
+    with pytest.raises(NotImplementedError, match="token merging"):
+        make_pp_forward(tome_model, mesh, 2)
+    with pytest.raises(NotImplementedError, match="token merging"):
+        pp_image_tokens(tome_model, params, batch["image"], mesh, 2)
+    with pytest.raises(NotImplementedError, match="MoE"):
+        make_pp_forward(moe_model, mesh, 2)
+    with pytest.raises(NotImplementedError, match="MoE"):
+        pp_image_tokens(moe_model, params, batch["image"], mesh, 2)
