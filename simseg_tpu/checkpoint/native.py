@@ -44,13 +44,32 @@ def save_checkpoint(
     meta: Optional[Dict[str, Any]] = None,
     make_latest: bool = True,
 ) -> Optional[str]:
-    """Serialize ``state`` under ``directory/name``; returns the path."""
+    """Serialize ``state`` under ``directory/name``; returns the path.
+
+    Crash consistency: state and meta describe one training instant, so
+    they must become the resume point as a PAIR. Fresh names (epoch saves,
+    first step save) get both files written BEFORE the ``latest_ckpt``
+    pointer flips — a kill mid-save leaves the pointer on the previous
+    complete checkpoint. Re-saves under an existing name (the constant
+    step-interval filename) cannot atomically replace two files in place,
+    so they write a fresh ``name@<step>`` versioned dir and flip the
+    pointer to it, then prune superseded versions; resume always follows
+    the pointer (auto-resume, ``load_params``)."""
     if not _is_proc0():
         return None
+    base = name
     path = os.path.join(directory, name)
+    meta = dict(meta or {})
+    if make_latest and os.path.exists(os.path.join(path, STATE_FILE)):
+        name = f"{name}@{meta.get('step', int(time.time() * 1000))}"
+        path = os.path.join(directory, name)
+        if os.path.exists(os.path.join(path, STATE_FILE)):
+            # same step re-saved (e.g. preemption right after an interval
+            # save): fall back to the timestamp suffix to stay fresh
+            name = f"{base}@{int(time.time() * 1000)}"
+            path = os.path.join(directory, name)
     os.makedirs(path, exist_ok=True)
 
-    meta = dict(meta or {})
     meta.setdefault("time", time.strftime("%Y-%m-%d %H:%M:%S"))
     meta.setdefault("simseg_tpu_version", _version())
     meta.setdefault("jax_version", jax.__version__)
@@ -61,10 +80,6 @@ def save_checkpoint(
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, os.path.join(path, STATE_FILE))
-    # meta rides the same temp+rename pattern as the state file: step
-    # checkpoints overwrite the live resume point in place, and a kill
-    # between the two writes must not leave new params next to a
-    # truncated/stale meta
     tmp_meta = os.path.join(path, META_FILE + ".tmp")
     with open(tmp_meta, "w") as f:
         json.dump(meta, f, indent=2)
@@ -76,8 +91,23 @@ def save_checkpoint(
         with open(tmp_link, "w") as f:
             f.write(name)
         os.replace(tmp_link, link)
+        # prune superseded versions of this name (no-op for unique names:
+        # nothing else matches base/base@*)
+        _prune_versions(directory, base, keep=name)
     logger.info(f"Saved checkpoint {path}")
     return path
+
+
+def _prune_versions(directory: str, base: str, keep: str) -> None:
+    """Remove superseded ``base`` / ``base@*`` step-checkpoint dirs after
+    the pointer has flipped to ``keep``."""
+    import shutil
+
+    for entry in os.listdir(directory):
+        if entry == keep or not (entry == base
+                                 or entry.startswith(base + "@")):
+            continue
+        shutil.rmtree(os.path.join(directory, entry), ignore_errors=True)
 
 
 def load_checkpoint(
@@ -187,6 +217,16 @@ def save_checkpoint_orbax(manager, step: int, state, meta: Optional[Dict[str, An
     restore."""
     import orbax.checkpoint as ocp
 
+    if step in manager.all_steps():
+        # Orbax keys checkpoints by step and refuses duplicates (measured on
+        # 0.11.32: a non-forced re-save is SILENTLY skipped; force=True
+        # raises StepAlreadyExistsError). An epoch-end save lands on the
+        # same step as a coinciding interval save (and PreemptionHook can
+        # too), and the LATER save carries the more advanced meta
+        # (epoch+1 / inner_step 0) — so replace instead of silently keeping
+        # the stale meta: join the async writer, drop the step, save fresh.
+        manager.wait_until_finished()
+        manager.delete(step)
     manager.save(
         step,
         args=ocp.args.Composite(
@@ -194,6 +234,22 @@ def save_checkpoint_orbax(manager, step: int, state, meta: Optional[Dict[str, An
             meta=ocp.args.JsonSave(dict(meta or {})),
         ),
     )
+
+
+def _abstract_template(state):
+    """Restore template from shapes/dtypes/shardings WITHOUT pulling the
+    live state to the host: jax.device_get on a multihost-sharded
+    (ZeRO-1/FSDP/TP pod) TrainState raises (non-addressable devices) and
+    would double host memory even where it works. Abstract jax.Array
+    leaves keep their shardings so orbax restores straight into the
+    sharded layout; non-array leaves (python scalars in opt-state
+    hyperparams) pass through concrete."""
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    return jax.tree.map(leaf, state)
 
 
 def load_checkpoint_orbax(manager, state, step: Optional[int] = None):
@@ -204,7 +260,7 @@ def load_checkpoint_orbax(manager, state, step: Optional[int] = None):
     restored = manager.restore(
         step,
         args=ocp.args.Composite(
-            state=ocp.args.StandardRestore(jax.device_get(state)),
+            state=ocp.args.StandardRestore(_abstract_template(state)),
             meta=ocp.args.JsonRestore(),
         ),
     )

@@ -359,6 +359,11 @@ def load_clip_checkpoint(
     state = load_torch_state_dict(path)
     if prefix_rules:
         state = convert_keys(state, prefix_rules)
+    # NOTE: despite the knob names, the filters keep the matching
+    # PROJECTION head too ('image_' also matches image_projection.*) —
+    # deliberate reference parity: the reference filter is the substring
+    # test `'image' in attr` (tasks/clip/hooks/checkpoint.py:86-98), which
+    # likewise carries image_projection along with the encoder.
     if only_image_encoder:
         state = {k: v for k, v in state.items() if k.startswith("image_")}
     if only_text_encoder:

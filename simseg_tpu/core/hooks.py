@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import enum
 import time
-from typing import Any, Dict, Optional
+from typing import Dict
 
 
 class Priority(enum.IntEnum):
@@ -99,12 +99,16 @@ class Hook:
 
 
 class LogMetrics:
-    """Rate counters and interval means (parity: core/hooks/log.py:24-62)."""
+    """Windowed rate counters (parity: core/hooks/log.py:24-62's throughput
+    meters). Scalar metrics are NOT accumulated here: the reference's
+    AverageMeter interval means would require materializing every step's
+    device outputs, so LogHook prints the log-cadence instantaneous values
+    instead and stashes the one materialized dict on runner.state for
+    same-step consumers (WandbHook)."""
 
     def __init__(self) -> None:
         self._counters: Dict[str, float] = {}
         self._counter_t0: Dict[str, float] = {}
-        self._stores: Dict[str, list] = {}
 
     def add_counter(self, key: str, value: float = 1.0) -> None:
         if key not in self._counters:
@@ -118,15 +122,3 @@ class LogMetrics:
         self._counters[key] = 0.0
         self._counter_t0[key] = time.time()
         return rate
-
-    def add_store(self, key: str, value: Any) -> None:
-        self._stores.setdefault(key, []).append(float(value))
-
-    def pop_store_mean(self, key: str) -> Optional[float]:
-        vals = self._stores.pop(key, None)
-        if not vals:
-            return None
-        return sum(vals) / len(vals)
-
-    def store_keys(self):
-        return list(self._stores.keys())

@@ -61,8 +61,10 @@ class LogHook(Hook):
                 metrics[k] = float(v)
             except (TypeError, ValueError):
                 continue
-        for k, v in metrics.items():
-            runner.state.log_metrics.add_store(k, v)
+        # stash the materialized dict for same-cadence consumers (WandbHook)
+        # so the device pull happens once per log step — on the tunneled TPU
+        # platform a second device_get is a second blocking sync
+        runner.state.logged_metrics = (runner.step, metrics)
         # samples accumulated since the last log, over wall time since the
         # last log — the interval-average throughput a user should quote
         rate = runner.state.log_metrics.pop_counter_rate("samples")
@@ -188,9 +190,15 @@ class CheckpointHook(Hook):
             )
             runner.train_state = runner.train_state.replace(params=params)
         else:
-            runner.train_state, _ = load_checkpoint(
-                path, runner.train_state, name=""
-            )
+            # params-only, like the torch branch: external_resume is a
+            # pretrained INIT, so the old run's optimizer moments and step
+            # counter must not leak into the fresh schedule. load_params
+            # also resolves ckpt.dir-style paths (latest_ckpt pointer,
+            # orbax step dirs).
+            from simseg_tpu.checkpoint.native import load_params
+
+            params = load_params(path, runner.train_state.params)
+            runner.train_state = runner.train_state.replace(params=params)
         logger.emph(f"Loaded external checkpoint {path}")
 
     def _meta(self, runner) -> Dict[str, Any]:
@@ -416,9 +424,14 @@ class WandbHook(Hook):
         if not self.every_n_inner_steps(runner, runner.cfg.log.interval_train):
             return
         keys = runner.cfg.wandb.train_record_keys
-        metrics = {
-            k: float(v) for k, v in jax.device_get(runner.outputs).items() if k in keys
-        }
+        stashed = runner.state.get("logged_metrics")
+        if stashed and stashed[0] == runner.step:
+            # LogHook (higher priority, same cadence) already pulled this
+            # step's metrics — reuse instead of a second device sync
+            pulled = stashed[1]
+        else:
+            pulled = jax.device_get(runner.outputs)
+        metrics = {k: float(v) for k, v in pulled.items() if k in keys}
         self._run.log(metrics, step=runner.step)
 
     def after_val_epoch(self, runner) -> None:

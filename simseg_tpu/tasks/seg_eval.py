@@ -199,18 +199,26 @@ def make_seg_predict(model, cfg, num_classes: int, top_cls_num: int,
                 pooled_acc = pooled_acc + pooled_w
                 n_windows += 1
         dense = (feat_grid / jnp.maximum(counts, 1.0)).reshape(b, -1, d)
-        # RAW window mean — normalization happens once in predict, so a
-        # multi-scale combination averages window and scale views at the
-        # same magnitude instead of a unit-norm view against raw ones
+        # window MEAN of per-window pooled embeddings; predict re-normalizes
+        # where needed so views mix at equal magnitude (see below)
         return dense, pooled_acc / n_windows
 
     def predict(params, images_u8, text_bank):
         images = normalize_images(images_u8, mean, std)
+        multi_scale = len(scales) > 1 or scales[0] != 1.0
         if use_window:
             dense, pooled = _sliding_tower(params, images)
+            if multi_scale and model.projection_name == "simple":
+                # each window's pooled is unit-norm (forward_image_project
+                # L2-normalizes for the simple projection), so the window
+                # MEAN has norm <= 1 while each scale view below is exactly
+                # unit-norm — re-normalize so all views enter the
+                # multi-scale average at the same magnitude. (complex
+                # projection: every view is raw, already magnitude-matched)
+                pooled = l2_normalize(pooled)
         else:
             dense, pooled = _tower(params, images)
-        if len(scales) > 1 or scales[0] != 1.0:
+        if multi_scale:
             b, _, d = dense.shape
             dense_acc = dense if 1.0 in scales else jnp.zeros_like(dense)
             pooled_acc = pooled if 1.0 in scales else jnp.zeros_like(pooled)

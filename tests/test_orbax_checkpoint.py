@@ -55,3 +55,50 @@ def test_load_params_from_orbax_dir(tmp_path):
                                   params["params"]["w"])
     np.testing.assert_array_equal(np.asarray(restored["params"]["b"]),
                                   params["params"]["b"])
+
+
+def test_orbax_duplicate_step_replaces_meta(tmp_path):
+    """An epoch-end save can land on the same step as an interval save;
+    orbax keys by step (a non-forced duplicate is silently skipped), so
+    save_checkpoint_orbax must REPLACE the step so the later save's more
+    advanced meta (epoch+1, inner_step 0) becomes the resume point."""
+    params = {"w": np.arange(4, dtype=np.float32)}
+    state = TrainState.create(params, optax.sgd(0.1))
+    mgr = make_orbax_manager(str(tmp_path / "ck"))
+
+    save_checkpoint_orbax(mgr, 7, state, {"epoch": 3, "inner_step": 2000})
+    save_checkpoint_orbax(mgr, 7, state, {"epoch": 4, "inner_step": 0})
+    mgr.wait_until_finished()
+
+    _, meta = load_checkpoint_orbax(mgr, state)
+    assert meta["epoch"] == 4 and meta["inner_step"] == 0
+
+
+def test_orbax_restore_preserves_shardings(tmp_path):
+    """The restore template is built from abstract shapes + shardings, not
+    jax.device_get (which raises on multihost-sharded pod states): restored
+    leaves must come back as jax.Arrays carrying the live state's
+    shardings."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from simseg_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    sharded = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    params = {
+        "w": jax.device_put(jnp.arange(16, dtype=jnp.float32), sharded),
+        "b": jax.device_put(jnp.ones((3,), jnp.float32), repl),
+    }
+    state = TrainState.create(params, optax.sgd(0.1))
+    mgr = make_orbax_manager(str(tmp_path / "ck"))
+    save_checkpoint_orbax(mgr, 1, state, {"epoch": 1})
+    mgr.wait_until_finished()
+
+    restored, _ = load_checkpoint_orbax(mgr, state)
+    assert restored.params["w"].sharding == sharded
+    assert restored.params["b"].sharding == repl
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(16, dtype=np.float32))

@@ -289,3 +289,81 @@ def test_runner_auto_resume_under_tp_zero1(toy_cfg):
     for x, y in zip(jax.tree.leaves(r1.train_state.params),
                     jax.tree.leaves(r2.train_state.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_step_checkpoint_overwrite_is_atomic_pair(tmp_path):
+    """Re-saving under the constant step-interval name must never leave new
+    params beside stale meta: the re-save goes to a fresh versioned dir and
+    the latest_ckpt pointer flips only after BOTH files are written;
+    superseded versions are pruned."""
+    import os
+
+    from simseg_tpu.engine import TrainState
+    import optax
+
+    tx = optax.sgd(0.1)
+    s1 = TrainState.create({"w": np.ones((3,), np.float32)}, tx)
+    s2 = TrainState.create({"w": np.full((3,), 2.0, np.float32)}, tx)
+
+    save_checkpoint(str(tmp_path), "step_ckpt", s1, {"epoch": 1, "step": 10})
+    save_checkpoint(str(tmp_path), "step_ckpt", s2, {"epoch": 1, "step": 20})
+
+    restored, meta = load_checkpoint(str(tmp_path), s1)
+    assert meta["step"] == 20
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.full((3,), 2.0, np.float32))
+    # the superseded unversioned dir is pruned; epoch-style unique names
+    # would be untouched
+    entries = sorted(e for e in os.listdir(tmp_path) if e != "latest_ckpt"
+                     and not e.endswith(".yaml"))
+    assert entries == ["step_ckpt@20"], entries
+
+    # a third save prunes the @20 version (the surviving dir name may be
+    # bare or versioned — what matters is exactly ONE complete pair remains
+    # and the pointer resolves to the newest meta)
+    save_checkpoint(str(tmp_path), "step_ckpt", s1, {"epoch": 2, "step": 30})
+    _, meta3 = load_checkpoint(str(tmp_path), s1)
+    assert meta3["step"] == 30
+    entries = sorted(e for e in os.listdir(tmp_path) if e != "latest_ckpt")
+    assert len(entries) == 1 and entries[0].startswith("step_ckpt"), entries
+
+
+def test_external_resume_native_is_params_only(tmp_path):
+    """ckpt.external_resume pointing at a native checkpoint is a pretrained
+    INIT: params load, but the old run's optimizer moments and step counter
+    must not leak into the fresh schedule (and a ckpt.dir-style path with a
+    latest_ckpt pointer must resolve)."""
+    import types
+
+    import jax.numpy as jnp
+    import optax
+
+    from simseg_tpu.core.train_hooks import CheckpointHook
+    from simseg_tpu.engine import TrainState
+    from simseg_tpu.utils.collections import AttrDict
+
+    tx = optax.sgd(0.1, momentum=0.9)
+    old = TrainState.create({"params": {"w": jnp.full((3,), 7.0)}}, tx)
+    # give the old run nonzero moments + step
+    g = jax.tree.map(jnp.ones_like, old.params)
+    updates, new_opt = tx.update(g, old.opt_state, old.params)
+    old = old.replace(params=optax.apply_updates(old.params, updates),
+                      opt_state=new_opt, step=old.step + 1)
+    assert int(old.step) == 1
+    save_checkpoint(str(tmp_path), "epoch_001", old, {"epoch": 1, "step": 50})
+
+    fresh = TrainState.create({"params": {"w": jnp.zeros((3,))}}, tx)
+    cfg = AttrDict()
+    cfg.ckpt = AttrDict(dir=str(tmp_path), external_resume=str(tmp_path))
+    cfg.model = AttrDict(projection=AttrDict(name="simple"))
+    runner = types.SimpleNamespace(cfg=cfg, train_state=fresh)
+
+    CheckpointHook()._load_external(runner, str(tmp_path))
+    np.testing.assert_array_equal(
+        np.asarray(runner.train_state.params["params"]["w"]),
+        np.asarray(old.params["params"]["w"]))
+    assert int(runner.train_state.step) == 0  # fresh schedule
+    for leaf in jax.tree.leaves(runner.train_state.opt_state):
+        if hasattr(leaf, "shape") and leaf.shape == (3,):
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.zeros((3,), np.float32))
