@@ -112,10 +112,10 @@ def _bilateral_kernel_matrix(
 # mean-field inference
 # --------------------------------------------------------------------------
 
-def _resolve_bilateral_impl(impl: str, n_small: int) -> str:
+def _resolve_bilateral_impl(impl: str, n_small: int, on_tpu: bool) -> str:
     if impl != "auto":
         return impl
-    if jax.default_backend() == "cpu":
+    if not on_tpu:
         return "xla"
     # small coarse grids: materializing the (n, n) kernel once and reusing it
     # across the 3 iterations beats recomputing exp() in the streaming Pallas
@@ -124,12 +124,12 @@ def _resolve_bilateral_impl(impl: str, n_small: int) -> str:
     return "xla" if n_small <= 4096 else "pallas"
 
 
-def _resolve_compute_dtype(name: str):
+def _resolve_compute_dtype(name: str, on_tpu: bool):
     if name == "auto":
-        # bf16 fine-grid compute on accelerators (the CRF is HBM-bandwidth
-        # bound; the argmax decision is tanh-saturated and robust); exact
-        # f32 on CPU where the parity tests compare against numpy
-        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        # bf16 fine-grid compute on TPU (the CRF is HBM-bandwidth bound; the
+        # argmax decision is tanh-saturated and robust); exact f32 elsewhere
+        # (CPU is where the parity tests compare against numpy)
+        return jnp.bfloat16 if on_tpu else jnp.float32
     return jnp.dtype(name)
 
 
@@ -166,8 +166,42 @@ def dense_crf_batched(
     bb, kk, h, w = probs.shape
     s = bilateral_stride
     assert h % s == 0 and w % s == 0, (h, w, s)
-    cdt = _resolve_compute_dtype(compute_dtype)
+    n_small_static = (h // s) * (w // s)
 
+    def _run(cdt, impl):
+        return _mean_field_binary(
+            probs, rgb, num_iters=num_iters, gaussian_sxy=gaussian_sxy,
+            gaussian_compat=gaussian_compat, bilateral_sxy=bilateral_sxy,
+            bilateral_srgb=bilateral_srgb, bilateral_compat=bilateral_compat,
+            s=s, cdt=cdt, impl=impl,
+        )
+
+    if compute_dtype != "auto" and bilateral_impl != "auto":
+        return _run(jnp.dtype(compute_dtype), bilateral_impl)
+    # 'auto' choices are resolved per LOWERING PLATFORM
+    # (lax.platform_dependent), not by the tracing host's backend: a serving
+    # artifact exported from a CPU host with platforms=('tpu',) bakes the
+    # same bf16/kernel path live TPU eval takes, so serving.py's
+    # served-equals-evaluated guarantee holds regardless of which host
+    # staged the export. Non-TPU lowerings statically resolve to the exact
+    # f32 xla branch (the numpy-parity configuration).
+    return jax.lax.platform_dependent(
+        tpu=lambda: _run(
+            _resolve_compute_dtype(compute_dtype, True),
+            _resolve_bilateral_impl(bilateral_impl, n_small_static, True),
+        ),
+        default=lambda: _run(
+            _resolve_compute_dtype(compute_dtype, False),
+            _resolve_bilateral_impl(bilateral_impl, n_small_static, False),
+        ),
+    )
+
+
+def _mean_field_binary(
+    probs, rgb, *, num_iters, gaussian_sxy, gaussian_compat, bilateral_sxy,
+    bilateral_srgb, bilateral_compat, s, cdt, impl,
+):
+    bb, kk, h, w = probs.shape
     p = jnp.clip(probs.astype(jnp.float32), 0.0, 1.0)
     # Binary-label reduction: with labels {bg, fg} and symmetric
     # normalization, the full 2-channel mean-field update
@@ -197,7 +231,6 @@ def dense_crf_batched(
     )  # (B, 3, h/s, w/s)
     rgb_small = jnp.moveaxis(rgb_small, 1, -1)  # (B, h/s, w/s, 3)
     n_small = (h // s) * (w // s)
-    impl = _resolve_bilateral_impl(bilateral_impl, n_small)
 
     if impl == "pallas":
         from simseg_tpu.ops.crf_pallas import (

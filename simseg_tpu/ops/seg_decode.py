@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from simseg_tpu.ops.crf import _resolve_compute_dtype, dense_crf_batched
+from simseg_tpu.ops.crf import dense_crf_batched
 from simseg_tpu.ops.morphology import closing, nearest_upsample
 
 
@@ -103,11 +103,24 @@ def make_seg_decode_fn(
         # tensors ride the CRF's compute dtype (bf16 on TPU — masks are 0/1
         # so the separable min/max closing is exact; the score weighting
         # decision is a strict ordering of a handful of scores, done in f32)
-        cdt = _resolve_compute_dtype(compute_dtype)
-        masks = closing(masks.astype(cdt), morphology_ksize)
+        def _close_in(cdt):
+            return closing(masks.astype(cdt), morphology_ksize).astype(
+                jnp.float32)
+
+        if compute_dtype == "auto":
+            # per-LOWERING-platform like the CRF's auto knobs (a dtype pick
+            # from the tracing host would bake the wrong lane into
+            # cross-platform serving exports); bf16 vs f32 closing is
+            # bit-identical on 0/1 masks — this is purely a bandwidth choice
+            masks_f = jax.lax.platform_dependent(
+                tpu=lambda: _close_in(jnp.bfloat16),
+                default=lambda: _close_in(jnp.float32),
+            )
+        else:
+            masks_f = _close_in(jnp.dtype(compute_dtype))
         weights = jnp.where(
             valid[:, :, None, None],
-            masks.astype(jnp.float32) * cand_scores[:, :, None, None],
+            masks_f * cand_scores[:, :, None, None],
             0.0,
         )
 

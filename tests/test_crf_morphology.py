@@ -188,3 +188,28 @@ def test_crf_stride8_approximates_stride4_at_scale():
     m8 = np.asarray(dense_crf_binary(jnp.asarray(probs), jnp.asarray(img),
                                      bilateral_stride=8))
     assert (m4 == m8).mean() >= 0.95
+
+
+def test_crf_auto_knobs_resolve_per_lowering_platform():
+    """The 'auto' compute-dtype / bilateral-impl knobs must be resolved by
+    the LOWERING platform, not the tracing host's backend: a serving
+    artifact exported from a CPU host with platforms=('tpu',) has to bake
+    the same bf16 lane live TPU eval runs (ADVICE round-2 class of bug —
+    see ops/attention.py's flash gating for the same pattern)."""
+    import jax
+    from jax import export as jexport
+
+    from simseg_tpu.ops.crf import dense_crf_batched
+
+    probs = jnp.zeros((1, 2, 32, 32), jnp.float32)
+    rgb = jnp.zeros((1, 32, 32, 3), jnp.float32)
+
+    def fn(p, r):
+        return dense_crf_batched(p, r, bilateral_stride=4)
+
+    tpu_mod = jexport.export(jax.jit(fn), platforms=("tpu",))(
+        probs, rgb).mlir_module()
+    cpu_mod = jexport.export(jax.jit(fn), platforms=("cpu",))(
+        probs, rgb).mlir_module()
+    assert "bf16" in tpu_mod      # TPU lane: bf16 fine-grid compute
+    assert "bf16" not in cpu_mod  # CPU lane: exact f32 (numpy parity config)
