@@ -59,12 +59,21 @@ def main() -> None:
     # the r=16 tower (quality cost quantified in BASELINE.md). The default
     # headline stays the exact pipeline.
     tome_r = int(os.environ.get("SIMSEG_BENCH_TOME", "0") or 0)
+    # opt-in int8 PTQ lane (ops/quant.py): SIMSEG_BENCH_QUANT=int8 runs the
+    # tower's matmuls int8x8->32 on the MXU (quality cost in BASELINE.md)
+    quant = os.environ.get("SIMSEG_BENCH_QUANT", "") or ""
+    arch = ()
     if tome_r > 0:
-        model = model.clone(image_arch=(("tome_r", tome_r),))
+        arch += (("tome_r", tome_r),)
+    if quant and quant != "none":
+        arch += (("quant", quant),)
+    if arch:
+        model = model.clone(image_arch=arch)
     num_classes = 21  # PASCAL VOC label bank
 
     rng = np.random.default_rng(0)
-    batch_size = 64
+    # smoke-test knobs (CPU lane validation); the driver's defaults stand
+    batch_size = int(os.environ.get("SIMSEG_BENCH_BATCH", "64") or 64)
     images = jnp.asarray(
         rng.normal(size=(batch_size, 288, 288, 3)).astype(np.float32)
     )
@@ -129,9 +138,9 @@ def main() -> None:
     acc = jnp.zeros((), jnp.float32)
     float(seg_forward(params, images, raw_images, text_bank, acc))
 
-    iters = 20
+    iters = int(os.environ.get("SIMSEG_BENCH_ITERS", "20") or 20)
     rates = []
-    for _trial in range(5):
+    for _trial in range(int(os.environ.get("SIMSEG_BENCH_TRIALS", "5") or 5)):
         acc = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -147,6 +156,8 @@ def main() -> None:
     )
     if tome_r > 0:
         metric += f"_tome{tome_r}"
+    if quant and quant != "none":
+        metric += f"_{quant}"
     baseline = reference_rate()
     print(
         json.dumps(

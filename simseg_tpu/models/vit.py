@@ -41,16 +41,21 @@ class ViTMlp(nn.Module):
     out_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # int8 PTQ inference (ops/quant.py): '' | 'none' | 'int8'
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        from simseg_tpu.ops.quant import dense_cls
+
+        dense = dense_cls(self.quant)
+        x = dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         # exact erf-GELU matches torch bit-for-bit in f32 (parity tests);
         # in bf16 the tanh approximation's ~1e-3 error sits below bf16
         # rounding and the erf is a measured VPU bottleneck (+33% ViT fwd)
         x = nn.gelu(x, approximate=self.dtype != jnp.float32)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -62,17 +67,24 @@ class ViTAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # int8 PTQ inference (ops/quant.py): the qkv/proj matmuls quantize; the
+    # score/probability einsums stay in the compute dtype (their FLOPs are
+    # small at ViT sequence lengths and probs are already <= 1)
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
                  attention_bias=None, return_keys: bool = False):
+        from simseg_tpu.ops.quant import dense_cls
+
+        dense = dense_cls(self.quant)
         b, t, d = x.shape
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        qkv = dense(3 * d, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         out = multi_head_attention(q, k, v, self.num_heads,
                                    attention_bias=attention_bias,
                                    dtype=self.dtype)
-        out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
+        out = dense(d, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         if return_keys:
             # token-merging similarity metric: attention keys, mean over
@@ -103,6 +115,10 @@ class ViTBlock(nn.Module):
     # instead, keeping block 0 eligible for the bias-free flash kernels
     # (every gate in ops/flash_attention.py requires attention_bias=None)
     tome_first: bool = False
+    # int8 PTQ inference (ops/quant.py, beyond reference): qkv/proj/fc1/fc2
+    # run int8 x int8 -> int32 on the MXU. Inference only — the runner
+    # refuses it under training.
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -123,7 +139,7 @@ class ViTBlock(nn.Module):
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         attn = ViTAttention(self.num_heads, self.dropout, self.dtype,
-                            name="attn")
+                            quant=self.quant, name="attn")
         if self.tome_r > 0:
             attn_out, keys = attn(y, deterministic, attention_bias=attn_bias,
                                   return_keys=True)
@@ -141,7 +157,8 @@ class ViTBlock(nn.Module):
                              self.expert_sharding, name="moe")(y, deterministic)
         else:
             mlp_out = ViTMlp(int(d * self.mlp_ratio), d, self.dropout,
-                             self.dtype, name="mlp")(y, deterministic)
+                             self.dtype, quant=self.quant,
+                             name="mlp")(y, deterministic)
         x = x + mlp_out
         if self.tome_r > 0:
             return x, sizes, gather_map
@@ -188,6 +205,13 @@ class VisionTransformer(nn.Module):
     # model.image_encoder.arch="{'tome_r': 16}". Not supported under
     # pipeline parallelism (stage stacks need homogeneous token counts).
     tome_r: int = 0
+    # int8 PTQ inference (beyond reference, ops/quant.py): every block's
+    # qkv/proj/fc1/fc2 matmul runs int8 x int8 -> int32 on the MXU (2x the
+    # bf16 peak on v5e) with per-channel weight + dynamic per-token
+    # activation scales. Param tree is unchanged (f32 master weights;
+    # quantization is a forward transform), so any checkpoint loads. Opt in
+    # via model.image_encoder.arch="{'quant': 'int8'}". Inference only.
+    quant: str = "none"
     # sequence parallelism (beyond reference): a NamedSharding for the
     # (B, T, D) residual stream, token dim sharded over the tensor-parallel
     # 'model' mesh axis. Constraining between blocks lets GSPMD run the
@@ -243,6 +267,7 @@ class VisionTransformer(nn.Module):
                       expert_sharding=self.expert_sharding,
                       tome_r=self.tome_r,
                       tome_first=(self.tome_r > 0 and i == 0),
+                      quant=self.quant,
                       name=f"blocks_{i}")
             for i in range(self.depth)
         ]

@@ -243,3 +243,32 @@ def test_seg_artifact_with_token_merging(tmp_path):
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(direct_pred))
     np.testing.assert_allclose(np.asarray(conf), np.asarray(direct_conf),
                                rtol=1e-6)
+
+
+def test_seg_artifact_with_int8_quant(tmp_path):
+    """Int8 PTQ towers (ops/quant.py) export/serve bit-identically to the
+    live jit — and the baked artifact constant-folds the weight
+    quantization, so the int8 kernels ship pre-quantized."""
+    model = tiny_clip(image_arch=(("quant", "int8"),))
+    batch = {
+        "image": jnp.zeros((1, 32, 32, 3), jnp.float32),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch)
+    rng = np.random.default_rng(2)
+    bank = rng.normal(size=(5, 16)).astype(np.float32)
+    fn = serving.make_seg_infer_fn(model, params, jnp.asarray(bank),
+                                   _seg_cfg(), num_classes=5, top_cls_num=3,
+                                   patch_size=8)
+    raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    direct_pred, direct_conf = jax.jit(fn)(raw)
+
+    data = serving.export_artifact(fn, (raw,))
+    path = tmp_path / "seg_int8.shlo"
+    serving.save_artifact(str(path), data)
+    pred, conf = serving.load_artifact(str(path))(raw)
+
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(direct_pred))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(direct_conf),
+                               rtol=1e-6)

@@ -433,16 +433,23 @@ def build_fixture(root, n_images: int, n_classes: int, seed: int,
 
 
 def make_parity_cfg(root, n_images: int, size: int = 288,
-                    batch_size_val: int = 2, tome_r: int = 0):
+                    batch_size_val: int = 2, tome_r: int = 0,
+                    quant: str = "none"):
     from simseg_tpu.config import new_base_cfg, update_cfg
     from simseg_tpu.tasks.clip.config import task_cfg_init_fn
 
+    # quality cost of the opt-in inference transforms (ops/tome.py token
+    # merging, ops/quant.py int8 PTQ): the torch reference side stays
+    # exact, so the reported disagreement quantifies what each trades for
+    # its speedup at production settings
+    arch = {}
+    if tome_r:
+        arch["tome_r"] = int(tome_r)
+    if quant not in (None, "", "none"):
+        arch["quant"] = str(quant)
     return update_cfg(task_cfg_init_fn, None, argv=([
-        # quality cost of token merging (ops/tome.py): the torch reference
-        # side stays exact, so the reported disagreement quantifies what
-        # tome_r trades for its speedup at production settings
-        f"model.image_encoder.arch={{'tome_r':{int(tome_r)}}}",
-    ] if tome_r else []) + [
+        f"model.image_encoder.arch={arch!r}",
+    ] if arch else []) + [
         f"data.data_path={root}/",
         f"data.batch_size_val={batch_size_val}",
         "data.num_workers=1",
@@ -470,14 +477,16 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
 
 
 def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
-               size: int = 288, root=None, tome_r: int = 0) -> dict:
+               size: int = 288, root=None, tome_r: int = 0,
+               quant: str = "none") -> dict:
     """Run both pipelines on the same fixture; return the metric dict.
     Owns (and removes) a temp fixture dir unless ``root`` is given."""
     owns_root = root is None
     if owns_root:
         root = tempfile.mkdtemp(prefix="seg_parity_")
     try:
-        return _run_parity(root, n_images, n_classes, seed, size, tome_r)
+        return _run_parity(root, n_images, n_classes, seed, size, tome_r,
+                           quant)
     finally:
         if owns_root:
             import shutil
@@ -485,7 +494,8 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
             shutil.rmtree(root, ignore_errors=True)
 
 
-def _run_parity(root, n_images, n_classes, seed, size, tome_r=0) -> dict:
+def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
+                quant="none") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -504,7 +514,7 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0) -> dict:
 
     classes, tmodel, ckpt = build_fixture(root, n_images, n_classes, seed,
                                           size)
-    cfg = make_parity_cfg(root, n_images, size, tome_r=tome_r)
+    cfg = make_parity_cfg(root, n_images, size, tome_r=tome_r, quant=quant)
 
     # shared tokenizer: specials + every word the prompt bank and class
     # names can produce
@@ -646,6 +656,7 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0) -> dict:
         seed=seed,
         size=size,
         tome_r=tome_r,
+        quant=quant,
         pixel_disagreement=disagree / max(valid_total, 1),
         candidate_set_flips=flips,
         miou_ours=float(miou_ours),
@@ -664,9 +675,11 @@ def main():
     ap.add_argument("--size", type=int, default=288)
     ap.add_argument("--tome_r", type=int, default=0,
                     help="token merging r (quality-cost measurement)")
+    ap.add_argument("--quant", type=str, default="none",
+                    help="int8 PTQ inference lane (quality-cost measurement)")
     args = ap.parse_args()
     out = run_parity(args.images, args.classes, args.seed, args.size,
-                     tome_r=args.tome_r)
+                     tome_r=args.tome_r, quant=args.quant)
     print(json.dumps(out))
 
 
