@@ -344,16 +344,18 @@ class CLIPRunner(EpochRunner):
                                               loss_group_samples)
 
         cfg = self.cfg
-        quant = dict(cfg.model.image_encoder.get("arch", {}) or {}).get(
-            "quant", "none")
-        if quant not in (None, "", "none"):
-            # jnp.round's gradient is zero almost everywhere — a quantized
-            # tower would silently train to nothing. int8 PTQ is an
-            # inference-time transform (seg/retrieval eval, serving export).
-            raise NotImplementedError(
-                f"arch quant='{quant}' is inference-only — train in "
-                "bf16/f32 and set quant for the eval/serving config"
-            )
+        for enc in ("image_encoder", "text_encoder"):
+            quant = dict(cfg.model[enc].get("arch", {}) or {}).get(
+                "quant", "none")
+            if quant not in (None, "", "none"):
+                # jnp.round's gradient is zero almost everywhere — a
+                # quantized tower would silently train to nothing. int8 PTQ
+                # is an inference-time transform (seg/retrieval eval,
+                # serving export).
+                raise NotImplementedError(
+                    f"{enc} arch quant='{quant}' is inference-only — train "
+                    "in bf16/f32 and set quant for the eval/serving config"
+                )
         smoothing = cfg.loss.get("smoothing", 0.0)
         # cfg.loss.group_size is devices-per-group (the reference's unit,
         # consumed by make_mesh); the loss works on the fused global batch

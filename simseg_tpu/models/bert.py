@@ -28,6 +28,11 @@ class BertLayer(nn.Module):
     moe_experts: int = 0
     moe_capacity: float = 1.25
     expert_sharding: Optional[object] = None
+    # int8 PTQ inference (ops/quant.py; same semantics as models/vit.py):
+    # q/k/v/attention_output/intermediate/output run int8 x int8 -> int32.
+    # Per-token activation scales never cross tokens, so padded positions
+    # cannot perturb real ones. Inference only (runner guard).
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -37,12 +42,15 @@ class BertLayer(nn.Module):
         deterministic: bool = True,
         token_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        from simseg_tpu.ops.quant import dense_cls
+
+        dense = dense_cls(self.quant)
         d = x.shape[-1]
-        q = nn.Dense(d, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(d, dtype=self.dtype, name="value")(x)
+        q = dense(d, dtype=self.dtype, name="query")(x)
+        k = dense(d, dtype=self.dtype, name="key")(x)
+        v = dense(d, dtype=self.dtype, name="value")(x)
         attn = multi_head_attention(q, k, v, self.num_heads, attention_bias, self.dtype)
-        attn = nn.Dense(d, dtype=self.dtype, name="attention_output")(attn)
+        attn = dense(d, dtype=self.dtype, name="attention_output")(attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="attention_norm")(x + attn)
 
@@ -54,12 +62,12 @@ class BertLayer(nn.Module):
                          self.expert_sharding, name="moe")(
                 x, deterministic, token_mask)
         else:
-            inter = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="intermediate")(x)
+            inter = dense(self.intermediate_dim, dtype=self.dtype, name="intermediate")(x)
             # exact erf-GELU matches torch bit-for-bit in f32 (parity tests);
             # in bf16 the tanh approximation's ~1e-3 error sits below bf16
             # rounding and the erf is a measured VPU bottleneck (+33% ViT fwd)
             inter = nn.gelu(inter, approximate=self.dtype != jnp.float32)
-            out = nn.Dense(d, dtype=self.dtype, name="output")(inter)
+            out = dense(d, dtype=self.dtype, name="output")(inter)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="output_norm")(x + out)
 
@@ -81,6 +89,9 @@ class BertEncoder(nn.Module):
     moe_every: int = 2
     moe_capacity: float = 1.25
     expert_sharding: Optional[object] = None
+    # int8 PTQ inference, opt-in via model.text_encoder.arch=
+    # "{'quant': 'int8'}" (ops/quant.py; param tree unchanged)
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -124,6 +135,7 @@ class BertEncoder(nn.Module):
                 moe_experts=self.moe_experts if is_moe else 0,
                 moe_capacity=self.moe_capacity,
                 expert_sharding=self.expert_sharding,
+                quant=self.quant,
                 name=f"layer_{i}",
             )(x, bias, deterministic,
               attention_mask if is_moe else None)

@@ -188,6 +188,47 @@ def test_clip_model_quant_via_arch():
     assert np.isfinite(np.asarray(img)).all()
 
 
+# ------------------------------------------------------------- BERT tower
+
+def test_bert_quant_param_tree_identical_and_close():
+    from simseg_tpu.models.bert import build_bert
+
+    ids = jnp.asarray(np.random.default_rng(8).integers(0, 128, (2, 10)),
+                      jnp.int32)
+    mask = jnp.ones((2, 10), jnp.int32)
+    base = build_bert("bert_test")
+    quant = build_bert("bert_test", arch={"quant": "int8"})
+    p0 = base.init(jax.random.key(0), ids, mask)
+    p1 = quant.init(jax.random.key(0), ids, mask)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_array_equal(
+        np.asarray(jax.flatten_util.ravel_pytree(p0)[0]),
+        np.asarray(jax.flatten_util.ravel_pytree(p1)[0]))
+    y = np.asarray(base.apply(p0, ids, mask), np.float64)
+    yq = np.asarray(quant.apply(p0, ids, mask), np.float64)
+    cos = (y * yq).sum(-1) / (np.linalg.norm(y, axis=-1)
+                              * np.linalg.norm(yq, axis=-1))
+    assert cos.min() > 0.995, cos.min()
+
+
+def test_bert_quant_padding_isolation():
+    """Per-token activation scales must keep padded positions from
+    perturbing real ones: same real tokens, different pad garbage ->
+    identical real-token hidden states."""
+    from simseg_tpu.models.bert import build_bert
+
+    model = build_bert("bert_test", arch={"quant": "int8"})
+    rng = np.random.default_rng(9)
+    ids_a = rng.integers(1, 128, (1, 10)).astype(np.int32)
+    ids_b = ids_a.copy()
+    ids_b[0, 6:] = rng.integers(1, 128, 4)  # different padding content
+    mask = np.asarray([[1] * 6 + [0] * 4], np.int32)
+    p = model.init(jax.random.key(0), jnp.asarray(ids_a), jnp.asarray(mask))
+    ya = np.asarray(model.apply(p, jnp.asarray(ids_a), jnp.asarray(mask)))
+    yb = np.asarray(model.apply(p, jnp.asarray(ids_b), jnp.asarray(mask)))
+    np.testing.assert_array_equal(ya[:, :6], yb[:, :6])
+
+
 # ------------------------------------------------------------ train guard
 
 def test_runner_refuses_quant_training():
@@ -207,4 +248,22 @@ def test_runner_refuses_quant_training():
     ], target=new_base_cfg())
     with pytest.raises(NotImplementedError, match="inference-only"):
         CLIPRunner(cfg, tiny_clip(image_arch=(("quant", "int8"),)),
+                   {"train": [], "val": []})
+
+
+def test_runner_refuses_quant_training_text_tower():
+    from simseg_tpu.config import new_base_cfg, update_cfg
+    from simseg_tpu.core.runner import CLIPRunner
+    from simseg_tpu.tasks.clip.config import task_cfg_init_fn
+
+    cfg = update_cfg(task_cfg_init_fn, None, argv=[
+        "dist.bf16=false",
+        "model.max_length=12",
+        "transforms.input_size=32",
+        "data.batch_size=8",
+        "data.batch_size_train=4",
+        "model.text_encoder.arch={'quant': 'int8'}",
+    ], target=new_base_cfg())
+    with pytest.raises(NotImplementedError, match="text_encoder.*inference"):
+        CLIPRunner(cfg, tiny_clip(text_arch=(("quant", "int8"),)),
                    {"train": [], "val": []})

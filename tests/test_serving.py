@@ -249,7 +249,8 @@ def test_seg_artifact_with_int8_quant(tmp_path):
     """Int8 PTQ towers (ops/quant.py) export/serve bit-identically to the
     live jit — and the baked artifact constant-folds the weight
     quantization, so the int8 kernels ship pre-quantized."""
-    model = tiny_clip(image_arch=(("quant", "int8"),))
+    model = tiny_clip(image_arch=(("quant", "int8"),),
+                      text_arch=(("quant", "int8"),))
     batch = {
         "image": jnp.zeros((1, 32, 32, 3), jnp.float32),
         "input_ids": jnp.zeros((1, 12), jnp.int32),

@@ -445,8 +445,16 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
     arch = {}
     if tome_r:
         arch["tome_r"] = int(tome_r)
-    if quant not in (None, "", "none"):
+    quantized = quant not in (None, "", "none")
+    if quantized:
         arch["quant"] = str(quant)
+    # --quant quantizes BOTH towers (the text side builds the zero-shot
+    # classifier bank), measuring the full quantized serving configuration
+    text_arch = {"vocab_size": 256, "hidden_dim": 384, "depth": 6,
+                 "num_heads": 6, "intermediate_dim": 1536,
+                 "max_position": 64, "type_vocab_size": 2}
+    if quantized:
+        text_arch["quant"] = str(quant)
     return update_cfg(task_cfg_init_fn, None, argv=([
         f"model.image_encoder.arch={arch!r}",
     ] if arch else []) + [
@@ -456,9 +464,7 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
         "model.max_length=25",
         "model.image_encoder.tag=vit_small_patch16_224",
         "model.text_encoder.tag=bert_parity",
-        "model.text_encoder.arch={'vocab_size':256,'hidden_dim':384,"
-        "'depth':6,'num_heads':6,'intermediate_dim':1536,'max_position':64,"
-        "'type_vocab_size':2}",
+        f"model.text_encoder.arch={text_arch!r}",
         "model.projection.name=simple",
         "model.projection.dim=512",
         "model.pool.name=loda",
