@@ -151,9 +151,12 @@ def pp_image_tokens(model, params, images: jnp.ndarray, mesh: Mesh,
 
     _refuse_heterogeneous_tower(model)
     spec = resolve_vit_config(model.image_tag, dict(model.image_arch or ()))
+    # quant is homogeneous across blocks (unlike MoE/tome), so it pipelines
+    # fine; training with it is refused upstream (core/runner.py guard)
     block = ViTBlock(num_heads=spec["num_heads"],
                      mlp_ratio=spec.get("mlp_ratio", 4.0),
-                     dropout=0.0, dtype=model.dtype)
+                     dropout=0.0, dtype=model.dtype,
+                     quant=spec.get("quant", "none"))
     x = model.apply(params, images,
                     method=lambda m, im: m.image_encoder.embed(im, True))
     stacked = stack_block_params(params["params"]["image_encoder"],

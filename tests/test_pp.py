@@ -54,6 +54,25 @@ def test_pp_forward_matches_plain(pp, n_micro):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pp_forward_matches_plain_int8_quant():
+    """quant is homogeneous across blocks, so it pipelines: the pp stack
+    must run the SAME int8 forward as the plain quant model (a dropped
+    knob would silently compute the float forward)."""
+    model = tiny_clip(image_arch=(("depth", 4), ("quant", "int8")))
+    batch = _batch(8)
+    params = model.init(jax.random.key(0), batch)
+    mesh = make_mesh(pp_size=2)
+
+    plain = model.apply(
+        params, batch["image"],
+        method=lambda m, im: m.image_encoder(im, True))
+    piped = jax.jit(
+        lambda p, im: pp_image_tokens(model, p, im, mesh, 2)
+    )(params, shard_batch(batch, mesh)["image"])
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pp_gradients_match_plain():
     """Grads through the GPipe schedule (ppermute transpose, masked psum,
     stacked-param unstack) == grads of the plain forward."""

@@ -129,6 +129,21 @@ def main():
         results[f"image_tower_fwd_tome{tome_r}"] = timed(
             tome_image_fwd, (params, images), b, args.iters)
 
+    # int8 PTQ tower (beyond reference, ops/quant.py): every block matmul
+    # int8x8->int32 on the MXU (2x bf16 peak on v5e) with dynamic
+    # per-token activation scales — measures the net win after the
+    # quantize/dequantize overhead. Same params (forward transform).
+    int8_model = model.clone(image_arch=(("quant", "int8"),))
+
+    @jax.jit
+    def int8_image_fwd(p, x, acc):
+        t = int8_model.apply(
+            p, x, method=lambda m, im: m.forward_image_tokens(im))
+        return acc + jnp.sum(t).astype(jnp.float32)
+
+    results["image_tower_fwd_int8"] = timed(
+        int8_image_fwd, (params, images), b, args.iters)
+
     # full contrastive train step (fwd + bwd + AdamW), flagship model
     from simseg_tpu.core.optim import build_optimizer
     from simseg_tpu.engine import TrainState, make_train_step
