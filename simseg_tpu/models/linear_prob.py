@@ -27,11 +27,20 @@ class LinearProbModel(nn.Module):
     only_cls_token: bool = True
     encoder_trainable: bool = False
     dtype: jnp.dtype = jnp.float32
+    # model.image_encoder.arch overrides (same surface as CLIPModel: YAML
+    # architectures, tome_r, quant, moe_experts). Sorted-tuple form so the
+    # module stays hashable.
+    image_arch: tuple = ()
 
     def setup(self) -> None:
         if "vit" in self.image_tag:
             self.image_encoder = build_vit(self.image_tag, self.img_size,
-                                           self.dtype)
+                                           self.dtype,
+                                           arch=dict(self.image_arch or ()))
+        elif self.image_arch:
+            raise NotImplementedError(
+                "model.image_encoder.arch overrides apply to ViT tags only "
+                f"(got CNN tag '{self.image_tag}')")
         else:
             # CNN path: global_pool='avg' semantics
             # (parity: linear_prob.py:84-88)
@@ -84,13 +93,31 @@ def linear_prob_loss_fn(
 def build_linear_prob_model(cfg, dtype=None) -> LinearProbModel:
     if dtype is None:
         dtype = jnp.bfloat16 if cfg.dist.get("bf16", False) else jnp.float32
+    arch = dict(cfg.model.image_encoder.get("arch", {}) or {})
+    trainable = cfg.model.image_encoder.trainable
+    if trainable and arch.get("quant", "none") not in (None, "", "none"):
+        # a FROZEN quantized backbone is the classic PTQ probe (the head's
+        # gradient never differentiates through round()); a trainable one
+        # would silently train to nothing (cf. core/runner.py guard)
+        raise NotImplementedError(
+            "arch quant is inference-only: set "
+            "model.image_encoder.trainable=false for a quantized probe")
+    if trainable and int(arch.get("moe_experts", 0) or 0) > 0:
+        # the linear-probe loss has no MoE aux term; training the experts
+        # without the balancing objective collapses routing — refuse
+        # rather than silently drop the aux loss (cf. engine/train_step.py)
+        raise NotImplementedError(
+            "linear probing does not train MoE towers (no aux balancing "
+            "loss here) — freeze the encoder or use the clip task")
     return LinearProbModel(
         image_tag=cfg.model.image_encoder.tag,
         img_size=cfg.transforms.input_size,
         num_classes=cfg.model.classifier.num_classes,
         only_cls_token=cfg.model.image_encoder.vit.get("only_cls_token", True),
-        encoder_trainable=cfg.model.image_encoder.trainable,
+        encoder_trainable=trainable,
         dtype=dtype,
+        image_arch=tuple(sorted((k, v) for k, v in arch.items()
+                                if v is not None)),
     )
 
 

@@ -251,6 +251,62 @@ def test_runner_refuses_quant_training():
                    {"train": [], "val": []})
 
 
+def _linear_cfg(argv):
+    from simseg_tpu.config import new_base_cfg, update_cfg
+    from simseg_tpu.tasks.linear_prob.config import task_cfg_init_fn
+
+    return update_cfg(task_cfg_init_fn, None, argv=[
+        "dist.bf16=false",
+        "transforms.input_size=32",
+        "model.image_encoder.tag=vit_test",
+        "model.classifier.num_classes=4",
+    ] + argv, target=new_base_cfg())
+
+
+def test_linear_probe_quantized_frozen_backbone():
+    """The classic PTQ probe: frozen int8 backbone, trainable head. The
+    arch knob must actually reach the tower (it was silently dropped
+    before), and the head's gradient never differentiates through
+    round(), so training is sound."""
+    from simseg_tpu.models.linear_prob import (build_linear_prob_model,
+                                               linear_prob_loss_fn)
+
+    cfg = _linear_cfg(["model.image_encoder.arch={'quant': 'int8'}"])
+    model = build_linear_prob_model(cfg)
+    assert dict(model.image_arch)["quant"] == "int8"
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(10).normal(size=(4, 32, 32, 3)),
+            jnp.float32),
+        "label": jnp.asarray([0, 1, 2, 3]),
+    }
+    params = model.init(jax.random.key(0), batch)
+    grads = jax.grad(
+        lambda p: linear_prob_loss_fn(model, p, batch)[0])(params)
+    enc = jax.tree.leaves(grads["params"]["image_encoder"])
+    assert all(np.allclose(np.asarray(g), 0.0) for g in enc)
+    assert np.abs(
+        np.asarray(grads["params"]["classifier"]["kernel"])).max() > 0
+
+
+def test_linear_probe_refuses_trainable_quant():
+    from simseg_tpu.models.linear_prob import build_linear_prob_model
+
+    cfg = _linear_cfg(["model.image_encoder.arch={'quant': 'int8'}",
+                       "model.image_encoder.trainable=True"])
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        build_linear_prob_model(cfg)
+
+
+def test_linear_probe_refuses_trainable_moe():
+    from simseg_tpu.models.linear_prob import build_linear_prob_model
+
+    cfg = _linear_cfg(["model.image_encoder.arch={'moe_experts': 4}",
+                       "model.image_encoder.trainable=True"])
+    with pytest.raises(NotImplementedError, match="MoE"):
+        build_linear_prob_model(cfg)
+
+
 def test_runner_refuses_quant_training_text_tower():
     from simseg_tpu.config import new_base_cfg, update_cfg
     from simseg_tpu.core.runner import CLIPRunner
