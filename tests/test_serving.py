@@ -273,3 +273,80 @@ def test_seg_artifact_with_int8_quant(tmp_path):
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(direct_pred))
     np.testing.assert_allclose(np.asarray(conf), np.asarray(direct_conf),
                                rtol=1e-6)
+
+
+def test_seg_artifact_multichip_data_parallel(tmp_path):
+    """A single-program artifact served over an 8-device mesh: GSPMD
+    batch-shards the inlined module; predictions are bit-identical to the
+    single-device call and the outputs land sharded over the mesh."""
+    from simseg_tpu.parallel.mesh import make_mesh
+
+    model, params = _model_and_params()
+    rng = np.random.default_rng(7)
+    bank = rng.normal(size=(5, 16)).astype(np.float32)
+    fn = serving.make_seg_infer_fn(model, params, jnp.asarray(bank),
+                                   _seg_cfg(), num_classes=5, top_cls_num=3,
+                                   patch_size=8)
+    raw = rng.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8)
+    path = tmp_path / "seg_mc.shlo"
+    serving.save_artifact(str(path), serving.export_artifact(fn, (raw,)))
+
+    ref_pred, ref_conf = serving.load_artifact(str(path))(raw)
+
+    mesh = make_mesh()
+    pred, conf = serving.load_artifact(str(path), mesh=mesh)(raw)
+    assert len(pred.sharding.device_set) == mesh.size
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(ref_pred))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_conf),
+                               rtol=1e-6)
+
+
+def test_separate_weights_artifact_multichip(tmp_path):
+    """Separate-weights layout over a mesh: the weight pytree is replicated,
+    the data arguments batch-sharded; embeddings match the single-device
+    serve (to float tolerance — XLA may tile reductions differently at the
+    per-shard shape, so bitwise equality across device counts is not a
+    guarantee for float outputs)."""
+    from simseg_tpu.parallel.mesh import make_mesh
+
+    model, params = _model_and_params()
+    cfg = _seg_cfg()
+    fn = serving.make_embed_fn(model, params, cfg, bake_weights=False)
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8).astype(
+        np.float32) / 255.0
+    ids = rng.integers(0, 30, (8, 12)).astype(np.int32)
+    mask = np.ones((8, 12), np.int32)
+    path = str(tmp_path / "emb_mc.shlo")
+    serving.export_artifact_separate(fn, params, (raw, ids, mask), path)
+
+    ref_img, ref_txt = serving.load_artifact_separate(path)(raw, ids, mask)
+
+    mesh = make_mesh()
+    img, txt = serving.load_artifact_separate(path, mesh=mesh)(raw, ids, mask)
+    assert len(img.sharding.device_set) == mesh.size
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(txt), np.asarray(ref_txt),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multichip_serve_rejects_indivisible_batch(tmp_path):
+    """Loading over a mesh the artifact's batch cannot split across raises
+    up front with an actionable message, not mid-call."""
+    import pytest
+
+    from simseg_tpu.parallel.mesh import make_mesh
+
+    model, params = _model_and_params()
+    rng = np.random.default_rng(5)
+    bank = rng.normal(size=(5, 16)).astype(np.float32)
+    fn = serving.make_seg_infer_fn(model, params, jnp.asarray(bank),
+                                   _seg_cfg(), num_classes=5, top_cls_num=3,
+                                   patch_size=8)
+    raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    path = str(tmp_path / "seg_bad.shlo")
+    serving.save_artifact(path, serving.export_artifact(fn, (raw,)))
+
+    with pytest.raises(ValueError, match="batch-sharded"):
+        serving.load_artifact(path, mesh=make_mesh())
