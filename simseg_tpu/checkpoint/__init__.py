@@ -12,6 +12,10 @@ from simseg_tpu.checkpoint.torch_bridge import (
     load_torch_state_dict,
     torch_to_flax,
 )
+from simseg_tpu.checkpoint.torch_export import (
+    flax_to_torch,
+    save_clip_checkpoint,
+)
 
 
 def load_pretrained_params(path: str, params, cfg):
@@ -39,4 +43,6 @@ __all__ = [
     "load_clip_checkpoint",
     "load_torch_state_dict",
     "torch_to_flax",
+    "flax_to_torch",
+    "save_clip_checkpoint",
 ]
