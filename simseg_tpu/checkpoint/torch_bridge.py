@@ -245,7 +245,11 @@ def clip_mapping_table(projection: str = "simple"):
         ("params", "image_encoder"),
         ("batch_stats", "image_encoder"),
     ))
-    table += list(_bert_entries("text_encoder.model.", ("params", "text_encoder")))
+    # double nesting on BOTH towers: CLIPModel.text_encoder.model is the
+    # reference's HuggingFaceModel wrapper and the BERT is its .model
+    # submodule (backbones/mml/huggingface_builder.py:6-14), symmetric with
+    # image_encoder.model.model (vit_builder.py:8-11).
+    table += list(_bert_entries("text_encoder.model.model.", ("params", "text_encoder")))
     table += list(_projection_entries("image_projection", "image_projection", projection))
     table += list(_projection_entries("text_projection", "text_projection", projection))
     table.append((r"^loss\.temperature$", lambda m: ("params", "temperature"), None))

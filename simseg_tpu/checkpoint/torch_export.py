@@ -186,10 +186,14 @@ def _export_subtree(tree, table, out: Dict[str, np.ndarray],
             skipped.append(f"{scope}/{joined}")
 
 
-# torch prefixes of the reference CLIPModel's towers
-# (models/clip_model.py wraps timm/HF backbones one module deep each).
+# torch prefixes of the reference CLIPModel's towers: both wrap their
+# backbone TWO modules deep — ImageEncoder.model = ViTModel whose .model is
+# the timm ViT (vit_builder.py:8-11), TextEncoder.model = HuggingFaceModel
+# whose .model is the AutoModel BERT (huggingface_builder.py:6-14); the
+# reference itself addresses image_encoder.model.model.pos_embed
+# (tools/seg_evaluation.py:228-230).
 _IMG_PREFIX = "image_encoder.model.model."
-_TXT_PREFIX = "text_encoder.model."
+_TXT_PREFIX = "text_encoder.model.model."
 
 
 def flax_to_torch(
@@ -211,9 +215,22 @@ def flax_to_torch(
     With ``strict=True`` any unmapped leaf (e.g. a knob the reference has
     no slot for) raises instead of being dropped silently.
     """
-    params = variables.get("params", variables)
+    if isinstance(variables, dict) and "params" in variables:
+        collections = variables
+    else:  # a bare params tree
+        collections = {"params": variables}
+    params = collections["params"]
     out: Dict[str, np.ndarray] = {}
     skipped: List[str] = []
+
+    # any collection other than params/batch_stats (e.g. a future quant or
+    # cache collection) has no slot in the reference layout — route it into
+    # `skipped` so strict mode refuses it instead of dropping it silently
+    for coll_name, coll in collections.items():
+        if coll_name in ("params", "batch_stats"):
+            continue
+        skipped.extend(f"{coll_name}/" + "/".join(p)
+                       for p, _ in _tree_paths(coll))
 
     for name, subtree in params.items():
         if name == "image_encoder":
@@ -232,7 +249,7 @@ def flax_to_torch(
                 f"params/{name}/" + "/".join(p)
                 for p, _ in _tree_paths(subtree))
 
-    stats = variables.get("batch_stats") if isinstance(variables, dict) else None
+    stats = collections.get("batch_stats")
     if stats:
         for name, subtree in stats.items():
             if name == "image_encoder":

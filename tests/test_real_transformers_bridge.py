@@ -41,10 +41,11 @@ def _tiny_hf_bert():
 @pytest.fixture(scope="module")
 def bridged_hf():
     tmodel = _tiny_hf_bert()
-    # reference layout: CLIPModel.text_encoder.model = AutoModel (so keys are
-    # text_encoder.model.<hf-key>, tasks the bridge maps)
+    # reference layout: CLIPModel.text_encoder.model = HuggingFaceModel whose
+    # .model is the AutoModel BERT (huggingface_builder.py:6-14), so keys are
+    # text_encoder.model.model.<hf-key>
     state = {
-        "text_encoder.model." + k: v.detach().numpy()
+        "text_encoder.model.model." + k: v.detach().numpy()
         for k, v in tmodel.state_dict().items()
     }
     fmodel = BertEncoder(vocab_size=120, hidden_dim=32, depth=2, num_heads=2,

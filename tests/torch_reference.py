@@ -133,10 +133,23 @@ class TorchBert(nn.Module):
         return x
 
 
+class TorchBackboneWrapper(nn.Module):
+    """HuggingFaceModel/ViTModel-style wrapper: the backbone sits at .model
+    and forward delegates (huggingface_builder.py:6-17), so state-dict keys
+    gain the second `.model.` level the reference layout has."""
+
+    def __init__(self, inner):
+        super().__init__()
+        self.model = inner
+
+    def forward(self, *args, **kwargs):
+        return self.model(*args, **kwargs)
+
+
 class TorchTinyCLIP(nn.Module):
     """State-dict-compatible stand-in for the reference CLIPModel
-    (image_encoder.model.model.*, text_encoder.model.*, *_projection.linear,
-    loss.temperature)."""
+    (image_encoder.model.model.*, text_encoder.model.model.*,
+    *_projection.linear, loss.temperature)."""
 
     def __init__(self, proj_dim=16, vit_kwargs=None, bert_kwargs=None):
         super().__init__()
@@ -146,7 +159,7 @@ class TorchTinyCLIP(nn.Module):
         self.image_encoder.model = nn.Module()
         self.image_encoder.model.model = TorchViT(**vit_kwargs)
         self.text_encoder = nn.Module()
-        self.text_encoder.model = TorchBert(**bert_kwargs)
+        self.text_encoder.model = TorchBackboneWrapper(TorchBert(**bert_kwargs))
         vdim = vit_kwargs.get("dim", 32)
         tdim = bert_kwargs.get("dim", 32)
         self.image_projection = nn.Module()

@@ -29,8 +29,9 @@ def main() -> None:
                          "dir, or a torch .pth to round-trip")
     ap.add_argument("--out", required=True)
     ap.add_argument("--non_strict", action="store_true",
-                    help="drop (with a warning) leaves the reference layout "
-                         "has no slot for instead of raising")
+                    help="tolerate (with a warning) a partial .pth source "
+                         "checkpoint and leaves the reference layout has no "
+                         "slot for, instead of raising")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -53,7 +54,10 @@ def main() -> None:
         "attention_mask": jnp.ones((1, cfg.model.max_length), jnp.int32),
     }
     variables = model.init(jax.random.key(0), dummy)
-    variables = load_pretrained_params(args.ckpt_path, variables, cfg)
+    # strict by default: a missing/mismatched source key would otherwise keep
+    # the model.init() random weights and export them as if trained
+    variables = load_pretrained_params(args.ckpt_path, variables, cfg,
+                                       strict=not args.non_strict)
 
     report = save_clip_checkpoint(
         args.out, variables,
