@@ -93,6 +93,17 @@ def main() -> None:
     )
     text_bank = text_bank / jnp.linalg.norm(text_bank, axis=-1, keepdims=True)
 
+    if quant and quant != "none":
+        # cache the int8 weights (and, for int8_static, calibrate activation
+        # scales on the bench distribution) so the timed loop never
+        # re-quantizes the f32 params (ops/quant.py)
+        from simseg_tpu.ops.quant import cache_quant_state
+
+        params = cache_quant_state(model, params, [
+            ((images[: min(8, batch_size)],),
+             {"method": lambda m, im: m.forward_image_tokens(im)}),
+        ])
+
     try:
         from simseg_tpu.ops.seg_decode import make_seg_decode_fn
 

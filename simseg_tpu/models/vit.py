@@ -41,7 +41,7 @@ class ViTMlp(nn.Module):
     out_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    # int8 PTQ inference (ops/quant.py): '' | 'none' | 'int8'
+    # int8 PTQ inference (ops/quant.py): '' | 'none' | 'int8' | 'int8_static'
     quant: str = "none"
 
     @nn.compact

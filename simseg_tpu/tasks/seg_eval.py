@@ -90,6 +90,74 @@ def zero_shot_classifier(model, params, classnames: Sequence[str], tokenizer,
     return np.stack(out)
 
 
+def prepare_quant_params(model, params, cfg, calib_images_u8=None,
+                         tokenizer=None, classnames: Sequence[str] = ()):
+    """Populate the int8 weight cache — and, for ``int8_static``, the
+    activation calibration — BEFORE any jitted eval fn compiles, so the
+    param-tree structure (the extra ``'quant'`` collection) is fixed up
+    front and the per-batch forward never re-quantizes the f32 weights
+    (ops/quant.py). No-op for unquantized models.
+
+    calib_images_u8: (N, S, S, 3) uint8 batch in the eval pipeline's raw
+    format (normalized here exactly like the eval forward). Required for
+    ``int8_static`` on the image tower; plain ``int8`` caches from a zeros
+    dummy (weights don't depend on activations). The text tower calibrates
+    on the actual prompt bank it will embed.
+    """
+    img_q = dict(model.image_arch or ()).get("quant", "none") or "none"
+    txt_q = dict(model.text_arch or ()).get("quant", "none") or "none"
+    if img_q == "none" and txt_q == "none":
+        return params
+
+    from simseg_tpu.ops.quant import cache_quant_state
+
+    size = cfg.transforms.input_size
+    calls = []
+    if img_q != "none":
+        if calib_images_u8 is not None:
+            imgs = normalize_images(jnp.asarray(calib_images_u8),
+                                    tuple(cfg.transforms.normalize.mean),
+                                    tuple(cfg.transforms.normalize.std))
+        elif img_q == "int8_static":
+            raise ValueError(
+                "quant='int8_static' on the image tower needs calibration "
+                "images (pass calib_images_u8)")
+        else:
+            imgs = jnp.zeros((1, size, size, 3), jnp.float32)
+        calls.append(((imgs,),
+                      {"method": lambda m, im: m.forward_image_tokens(im)}))
+    if txt_q != "none":
+        if tokenizer is not None and classnames:
+            texts = []
+            for cls in list(classnames)[:4]:
+                texts.extend(openai_imagenet_template(cls))
+            enc = tokenizer(texts, padding="max_length", truncation=True,
+                            max_length=cfg.model.max_length)
+            ids = jnp.asarray(enc["input_ids"], jnp.int32)
+            mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+        elif txt_q == "int8_static":
+            raise ValueError(
+                "quant='int8_static' on the text tower needs the tokenizer "
+                "+ classnames for prompt-bank calibration")
+        else:
+            ids = jnp.zeros((1, cfg.model.max_length), jnp.int32)
+            mask = jnp.ones((1, cfg.model.max_length), jnp.int32)
+        calls.append(((ids, mask),
+                      {"method": lambda m, i, a: m.forward_text_feature(i, a)}))
+    logger.info(f"Caching int8 weights (image={img_q}, text={txt_q})")
+    out = cache_quant_state(model, params, calls)
+    if jax.process_count() > 1:
+        # per-process calibration batches differ (sharded loaders); one
+        # calibration must win or every process embeds with different
+        # scales — broadcast process 0's derived collection
+        from simseg_tpu.parallel.collectives import broadcast_object
+
+        quant_host = jax.tree.map(lambda a: np.asarray(a), out["quant"])
+        out = {**out, "quant": jax.tree.map(
+            jnp.asarray, broadcast_object(quant_host))}
+    return out
+
+
 def image_patch_stride(model) -> int:
     """Spatial stride of the dense feature grid: the ViT patch size (resolved
     through the same tag-table/timm-pattern/arch-override path the model
@@ -319,6 +387,16 @@ def evaluate_benchmark(loader, model, params, cfg, tokenizer,
                 f"canvas; raising the padded canvas to {new_canvas}px"
             )
             canvas = new_canvas
+    # int8 towers: cache quantized weights (and calibrate static activation
+    # scales on the first real batch) before anything compiles
+    img_q = dict(model.image_arch or ()).get("quant", "none") or "none"
+    calib = None
+    if img_q == "int8_static":
+        calib = next(iter(loader))["image"]
+    params = prepare_quant_params(model, params, cfg, calib_images_u8=calib,
+                                  tokenizer=tokenizer,
+                                  classnames=seg_categories)
+
     logger.info(f"Building zero-shot classifier for {num_classes} classes")
     text_bank = zero_shot_classifier(model, params, seg_categories, tokenizer,
                                      max_length=cfg.model.max_length)

@@ -229,6 +229,105 @@ def test_bert_quant_padding_isolation():
     np.testing.assert_array_equal(ya[:, :6], yb[:, :6])
 
 
+# -------------------------------------------------- cached / static quant
+
+def test_cache_quant_state_weights_identical_output():
+    """The cached int8 weights are the same computation memoized: the
+    forward with a populated 'quant' collection must be BIT-identical to
+    the on-the-fly dynamic path."""
+    from simseg_tpu.ops.quant import cache_quant_state
+
+    imgs = jnp.asarray(np.random.default_rng(11).normal(size=(2, 32, 32, 3)),
+                       jnp.float32)
+    model = _tiny_vit(quant="int8")
+    params = model.init(jax.random.key(0), imgs)
+    assert "quant" not in params  # init must NOT create the derived cache
+    y_dyn = np.asarray(model.apply(params, imgs))
+    vs = cache_quant_state(model, params, [((imgs[:1],), {})])
+    assert "quant" in vs
+    # every block matmul cached: 4 dense layers x 2 blocks, 2 vars each
+    leaves = jax.tree.leaves(vs["quant"])
+    assert len(leaves) == 2 * 2 * 4
+    y_cached = np.asarray(model.apply(vs, imgs))
+    np.testing.assert_array_equal(y_dyn, y_cached)
+
+
+def test_cache_quant_state_rebuilds_not_stale():
+    """cache_quant_state drops any pre-existing collection and rebuilds
+    from the CURRENT params (the cache is derived state)."""
+    from simseg_tpu.ops.quant import cache_quant_state
+
+    imgs = jnp.asarray(np.random.default_rng(12).normal(size=(1, 32, 32, 3)),
+                       jnp.float32)
+    model = _tiny_vit(quant="int8")
+    p0 = model.init(jax.random.key(0), imgs)
+    p1 = model.init(jax.random.key(1), imgs)
+    vs0 = cache_quant_state(model, p0, [((imgs,), {})])
+    # swap params under the stale cache, then rebuild
+    stale = {**vs0, "params": p1["params"]}
+    rebuilt = cache_quant_state(model, stale, [((imgs,), {})])
+    want = cache_quant_state(model, p1, [((imgs,), {})])
+    for a, b in zip(jax.tree.leaves(rebuilt["quant"]),
+                    jax.tree.leaves(want["quant"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_static_requires_calibration():
+    model = _tiny_vit(quant="int8_static")
+    imgs = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.key(0), imgs)  # init itself must work
+    with pytest.raises(RuntimeError, match="calibration"):
+        model.apply(params, imgs)
+
+
+def test_int8_static_close_to_float_after_calibration():
+    from simseg_tpu.ops.quant import cache_quant_state
+
+    rng = np.random.default_rng(13)
+    imgs = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    calib = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    params = _tiny_vit().init(jax.random.key(0), imgs)
+    model = _tiny_vit(quant="int8_static")
+    vs = cache_quant_state(model, params, [((calib[:2],), {}),
+                                           ((calib[2:],), {})])
+    y = np.asarray(_tiny_vit().apply(params, imgs), np.float64)
+    yq = np.asarray(model.apply(vs, imgs), np.float64)
+    cos = (y * yq).sum(-1) / (np.linalg.norm(y, axis=-1)
+                              * np.linalg.norm(yq, axis=-1))
+    # static per-channel scales are cruder than dynamic per-token (0.995
+    # above) on a tiny random tower; the production-quality gate is
+    # tools/seg_parity.py --quant int8_static
+    assert cos.min() > 0.97, cos.min()
+
+
+def test_int8_static_exact_on_grid():
+    """Static-scale pipeline is exact when activations sit on the
+    calibrated grid and weights on the folded int8 grid."""
+    from simseg_tpu.ops.quant import int8_matmul_static, quantize_colwise
+
+    rng = np.random.default_rng(14)
+    a = np.full((32,), 127 * 2.0 ** -5, np.float32)  # absmax per channel
+    xi = rng.integers(-127, 128, (4, 32))
+    x = (xi * 2.0 ** -5).astype(np.float32)
+    # weight already on the folded grid: W = wi * d / (a/127)
+    wi = rng.integers(-127, 128, (32, 24))
+    wi[0, :] = 127
+    d = 2.0 ** -8
+    w_folded = (wi * d).astype(np.float32)          # = kernel * a/127
+    wq, sw = quantize_colwise(jnp.asarray(w_folded))
+    got = np.asarray(int8_matmul_static(
+        jnp.asarray(x), jnp.asarray(127.0 / a), wq, sw))
+    want = ((xi.astype(np.int64) @ wi.astype(np.int64)).astype(np.float64)
+            * d).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dense_cls_static_dispatch():
+    cls = dense_cls("int8_static")
+    mod = cls(8)
+    assert isinstance(mod, QuantDense) and mod.static_acts
+
+
 # ------------------------------------------------------------ train guard
 
 def test_runner_refuses_quant_training():

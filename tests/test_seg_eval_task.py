@@ -136,6 +136,34 @@ def test_evaluate_benchmark_runs(voc_fixture):
     assert miou == pytest.approx(miou4, rel=1e-6)
 
 
+def test_evaluate_benchmark_int8_static(voc_fixture):
+    """Quantized-tower eval end to end: prepare_quant_params must calibrate
+    on the first loader batch (image tower) and the prompt bank (text
+    tower) before anything compiles, and the eval must complete."""
+    cfg, _ = voc_fixture
+    tok = WordPieceTokenizer(make_test_vocab(
+        ["a", "photo", "of", "the", "background", "dog", "cat", "bird"]
+    ))
+    model = tiny_clip(image_arch=(("quant", "int8_static"),),
+                      text_arch=(("quant", "int8_static"),))
+    import jax.numpy as jnp
+
+    dummy = {
+        "image": jnp.zeros((1, 32, 32, 3)),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), dummy)
+    loader = build_seg_valid_loader(cfg, "pascal_voc")
+    iou, miou = evaluate_benchmark(
+        loader, model, params, cfg,
+        tok, ["background", "dog", "cat", "bird"], top_cls_num=3,
+        dataset_name="pascal_voc",
+    )
+    assert iou.shape == (4,)
+    assert 0.0 <= miou <= 1.0
+
+
 def test_oversized_gt_label_raises_canvas(tmp_path):
     """A GT label larger than the dataset's declared canvas auto-raises the
     padded canvas at loader scan time (PNG headers) instead of crashing

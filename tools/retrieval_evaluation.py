@@ -43,6 +43,33 @@ def evaluate_benchmark(loader, model, params, cfg, mesh=None) -> dict:
     import jax
     import jax.numpy as jnp
 
+    img_q = dict(model.image_arch or ()).get("quant", "none") or "none"
+    txt_q = dict(model.text_arch or ()).get("quant", "none") or "none"
+    if img_q != "none" or txt_q != "none":
+        # cache int8 weights / calibrate static activation scales on the
+        # first batch BEFORE the embed fn compiles (ops/quant.py); process 0
+        # wins under multi-process (prepare in tasks/seg_eval broadcasts)
+        from simseg_tpu.ops.quant import cache_quant_state
+
+        first = next(iter(loader))
+        calls = []
+        if img_q != "none":
+            calls.append(((jnp.asarray(first["image"]),),
+                          {"method": lambda m, im: m.forward_image_tokens(im)}))
+        if txt_q != "none":
+            calls.append(((jnp.asarray(first["input_ids"]),
+                           jnp.asarray(first["attention_mask"])),
+                          {"method":
+                           lambda m, i, a: m.forward_text_feature(i, a)}))
+        params = cache_quant_state(model, params, calls)
+        if jax.process_count() > 1:
+            from simseg_tpu.parallel.collectives import broadcast_object
+
+            quant_host = jax.tree.map(lambda a: np.asarray(a),
+                                      params["quant"])
+            params = {**params, "quant": jax.tree.map(
+                jnp.asarray, broadcast_object(quant_host))}
+
     # the exact graph the serving artifact exports — one definition, so the
     # served embeddings and the evaluated metric cannot drift
     from simseg_tpu.serving import make_embed_fn

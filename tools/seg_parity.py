@@ -545,6 +545,20 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
     params, report = load_clip_checkpoint(ckpt, params)
     assert not report["missing"] and not report["mismatched"], report
 
+    if quant not in (None, "", "none"):
+        # cache the int8 weights; int8_static additionally calibrates
+        # activation scales on the harness scenes (image tower) and the
+        # prompt bank (text tower) — the standard PTQ calibration flow
+        from simseg_tpu.tasks.seg_eval import prepare_quant_params
+
+        calib = None
+        if quant == "int8_static":
+            calib_loader = build_seg_valid_loader(cfg, "pascal_voc")
+            calib = next(iter(calib_loader))["image"]
+        params = prepare_quant_params(model, params, cfg,
+                                      calib_images_u8=calib, tokenizer=tok,
+                                      classnames=classes)
+
     top_cls_num = 10  # VOC setting (reference :247)
     canvas = 512
     text_bank = zero_shot_classifier(model, params, classes, tok,
