@@ -93,7 +93,62 @@ class BertEncoder(nn.Module):
     # "{'quant': 'int8'}" (ops/quant.py; param tree unchanged)
     quant: str = "none"
 
-    @nn.compact
+    def setup(self) -> None:
+        # setup-style (rather than @nn.compact) so ``embed`` is callable as
+        # a standalone stage — the pipeline-parallel executor (parallel/pp.py)
+        # runs embed -> pipelined layers. Param names are identical to the
+        # former compact layout (checkpoint bridge compatibility).
+        self.word_embeddings = nn.Embed(
+            self.vocab_size, self.hidden_dim, dtype=self.dtype,
+            name="word_embeddings")
+        self.position_embeddings = nn.Embed(
+            self.max_position, self.hidden_dim, dtype=self.dtype,
+            name="position_embeddings")
+        self.token_type_embeddings = nn.Embed(
+            self.type_vocab_size, self.hidden_dim, dtype=self.dtype,
+            name="token_type_embeddings")
+        self.embeddings_norm = nn.LayerNorm(
+            epsilon=1e-12, dtype=self.dtype, name="embeddings_norm")
+        self.embed_drop = nn.Dropout(self.dropout)
+
+        layer_cls = BertLayer
+        if self.remat:
+            from simseg_tpu.models.vit import _remat_policy
+
+            layer_cls = nn.remat(BertLayer, static_argnums=(3,),
+                                 policy=_remat_policy(self.remat_policy))
+
+        def is_moe(i: int) -> bool:
+            return (self.moe_experts > 0
+                    and i % self.moe_every == self.moe_every - 1)
+
+        self.layers = [
+            layer_cls(
+                self.num_heads, self.intermediate_dim, self.dropout, self.dtype,
+                moe_experts=self.moe_experts if is_moe(i) else 0,
+                moe_capacity=self.moe_capacity,
+                expert_sharding=self.expert_sharding,
+                quant=self.quant,
+                name=f"layer_{i}",
+            )
+            for i in range(self.depth)
+        ]
+
+    def embed(self, input_ids: jnp.ndarray,
+              token_type_ids: Optional[jnp.ndarray] = None,
+              deterministic: bool = True) -> jnp.ndarray:
+        """Word + position + token-type embeddings, LayerNorm, dropout:
+        (B, T) int32 -> (B, T, D)."""
+        t = input_ids.shape[1]
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        position_ids = jnp.arange(t, dtype=jnp.int32)[None, :]
+        x = (self.word_embeddings(input_ids)
+             + self.position_embeddings(position_ids)
+             + self.token_type_embeddings(token_type_ids))
+        x = self.embeddings_norm(x)
+        return self.embed_drop(x, deterministic=deterministic)
+
     def __call__(
         self,
         input_ids: jnp.ndarray,
@@ -102,43 +157,17 @@ class BertEncoder(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         """input_ids: (B, T) int32. Returns last_hidden_state (B, T, D)."""
-        b, t = input_ids.shape
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros_like(input_ids)
-        position_ids = jnp.arange(t, dtype=jnp.int32)[None, :]
-
-        word = nn.Embed(self.vocab_size, self.hidden_dim, dtype=self.dtype,
-                        name="word_embeddings")(input_ids)
-        pos = nn.Embed(self.max_position, self.hidden_dim, dtype=self.dtype,
-                       name="position_embeddings")(position_ids)
-        typ = nn.Embed(self.type_vocab_size, self.hidden_dim, dtype=self.dtype,
-                       name="token_type_embeddings")(token_type_ids)
-        x = word + pos + typ
-        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="embeddings_norm")(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = self.embed(input_ids, token_type_ids, deterministic)
 
         bias = None
         if attention_mask is not None:
             bias = padding_bias(attention_mask, jnp.float32)
 
-        layer_cls = BertLayer
-        if self.remat:
-            from simseg_tpu.models.vit import _remat_policy
-
-            layer_cls = nn.remat(BertLayer, static_argnums=(3,),
-                                 policy=_remat_policy(self.remat_policy))
-        for i in range(self.depth):
+        for i, layer in enumerate(self.layers):
             is_moe = (self.moe_experts > 0
                       and i % self.moe_every == self.moe_every - 1)
-            x = layer_cls(
-                self.num_heads, self.intermediate_dim, self.dropout, self.dtype,
-                moe_experts=self.moe_experts if is_moe else 0,
-                moe_capacity=self.moe_capacity,
-                expert_sharding=self.expert_sharding,
-                quant=self.quant,
-                name=f"layer_{i}",
-            )(x, bias, deterministic,
-              attention_mask if is_moe else None)
+            x = layer(x, bias, deterministic,
+                      attention_mask if is_moe else None)
         return x
 
 

@@ -1,5 +1,5 @@
-"""Pipeline parallelism: GPipe-style microbatch pipelining of the ViT block
-stack over a ``pipe`` mesh axis.
+"""Pipeline parallelism: GPipe-style microbatch pipelining of BOTH tower
+block stacks (ViT and BERT) over a ``pipe`` mesh axis.
 
 Beyond-reference capability (SURVEY.md §2.8 marks PP absent upstream). The
 TPU-native shape, per the scaling-book pipelining recipe:
@@ -41,23 +41,36 @@ from jax.sharding import Mesh, PartitionSpec as P
 from simseg_tpu.parallel.mesh import PIPE_AXIS, batch_axes
 
 
-def stack_block_params(vit_params: Dict[str, Any], depth: int):
-    """Stack the ``blocks_i`` subtrees into one pytree with a leading layer
+def stack_block_params(tower_params: Dict[str, Any], depth: int,
+                       prefix: str = "blocks_"):
+    """Stack the ``{prefix}i`` subtrees into one pytree with a leading layer
     dim: leaf (…) -> (depth, …). Pure tree reshuffle — differentiable, and
     its transpose (unstack + accumulate) is what routes gradients back to
-    the canonical per-block leaves."""
-    blocks = [vit_params[f"blocks_{i}"] for i in range(depth)]
+    the canonical per-block leaves. prefix: ``blocks_`` for the ViT tower,
+    ``layer_`` for BERT."""
+    blocks = [tower_params[f"{prefix}{i}"] for i in range(depth)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
 def pipeline_blocks(block_module, stacked, x: jnp.ndarray, mesh: Mesh,
-                    n_micro: int) -> jnp.ndarray:
+                    n_micro: int, aux=None, block_apply=None) -> jnp.ndarray:
     """Run the stacked block parameters over ``x`` (B, T, D) with a GPipe
     schedule on the mesh's ``pipe`` axis.
 
-    block_module: a ViTBlock instance (architecture only — params come from
-    ``stacked``). stacked: pytree with leading dim ``depth`` (see
+    block_module: a ViTBlock/BertLayer instance (architecture only — params
+    come from ``stacked``). stacked: pytree with leading dim ``depth`` (see
     stack_block_params); depth must divide by the pipe-axis size.
+
+    aux: optional pytree of PER-SAMPLE side inputs (leading dim B, e.g. the
+    BERT padding bias) that every stage needs alongside the activations.
+    Since aux is replicated over ``pipe``, it is not permuted with the
+    activations: each stage dynamically selects the microbatch it is
+    processing at tick t (index t - stage; clipped — bubble outputs never
+    land in the collected buffer).
+
+    block_apply(module, layer_params, h, aux_mb) -> h applies one layer;
+    defaults to the ViTBlock signature ``module.apply({'params': p}, h,
+    deterministic=True)``.
     """
     if PIPE_AXIS not in mesh.axis_names:
         raise ValueError("pipeline_blocks needs a 'pipe' mesh axis "
@@ -76,27 +89,37 @@ def pipeline_blocks(block_module, stacked, x: jnp.ndarray, mesh: Mesh,
             f"per-device batch {x.shape[0]}/{shards} not divisible by "
             f"pp_micro {n_micro}")
 
+    if block_apply is None:
+        def block_apply(module, p, h, _aux):
+            return module.apply({"params": p}, h, True)
+
     staged = jax.tree.map(
         lambda a: a.reshape((n_stages, layers_per_stage) + a.shape[1:]),
         stacked)
     baxes = batch_axes(mesh)
-    x_spec = P(baxes if len(baxes) > 1 else (baxes[0] if baxes else None),
-               None, None)
-    in_specs = (jax.tree.map(lambda _: P(PIPE_AXIS), staged), x_spec)
+    batch_spec = baxes if len(baxes) > 1 else (baxes[0] if baxes else None)
+    x_spec = P(batch_spec, None, None)
+    aux_specs = jax.tree.map(
+        lambda a: P(batch_spec, *([None] * (a.ndim - 1))), aux)
+    in_specs = (jax.tree.map(lambda _: P(PIPE_AXIS), staged), x_spec,
+                aux_specs)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=x_spec,
              check_vma=False)
-    def run(stage_params, xl):
+    def run(stage_params, xl, auxl):
         # local views: stage_params (1, L, …) -> (L, …); xl (b_local, T, D)
         stage_params = jax.tree.map(lambda a: a[0], stage_params)
         stage = jax.lax.axis_index(PIPE_AXIS)
         is_first = stage == 0
         is_last = stage == n_stages - 1
         mb = xl.reshape((n_micro, xl.shape[0] // n_micro) + xl.shape[1:])
+        aux_mb = jax.tree.map(
+            lambda a: a.reshape((n_micro, a.shape[0] // n_micro) + a.shape[1:]),
+            auxl)
 
-        def apply_stage(h):
+        def apply_stage(h, a):
             def body(c, p):
-                return block_module.apply({"params": p}, c, True), None
+                return block_apply(block_module, p, c, a), None
 
             h, _ = jax.lax.scan(body, h, stage_params)
             return h
@@ -107,7 +130,14 @@ def pipeline_blocks(block_module, stacked, x: jnp.ndarray, mesh: Mesh,
         for t in range(n_micro + n_stages - 1):
             if t < n_micro:
                 cur = jnp.where(is_first, mb[t], cur)
-            out = apply_stage(cur)
+            # the microbatch this stage processes at tick t entered the pipe
+            # at tick t - stage; bubbles (out-of-range, clipped) compute on
+            # zeros and never reach the collected buffer
+            mb_idx = jnp.clip(t - stage, 0, n_micro - 1)
+            a_t = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, mb_idx, axis=0, keepdims=False), aux_mb)
+            out = apply_stage(cur, a_t)
             k = t - (n_stages - 1)
             if k >= 0:
                 buf = buf.at[k].set(jnp.where(is_last, out, buf[k]))
@@ -119,7 +149,7 @@ def pipeline_blocks(block_module, stacked, x: jnp.ndarray, mesh: Mesh,
         buf = jax.lax.psum(buf, PIPE_AXIS)
         return buf.reshape(xl.shape)
 
-    return run(staged, x)
+    return run(staged, x, aux)
 
 
 def _refuse_heterogeneous_tower(model) -> None:
@@ -165,8 +195,40 @@ def pp_image_tokens(model, params, images: jnp.ndarray, mesh: Mesh,
     return model.apply(params, x, method=lambda m, t: m.image_encoder.head(t))
 
 
+def pp_text_feature(model, params, input_ids: jnp.ndarray,
+                    attention_mask, mesh: Mesh, n_micro: int) -> jnp.ndarray:
+    """Pipelined BERT forward: embeddings (replicated) -> pipelined layers.
+    Returns the last hidden state (B, T, D), numerically equal to
+    ``model.forward_text_feature(input_ids, attention_mask)``. The padding
+    bias rides the schedule as a per-microbatch aux input (BertLayer needs
+    it at every stage)."""
+    from simseg_tpu.models.bert import BertLayer, resolve_bert_config
+    from simseg_tpu.ops.attention import padding_bias
+
+    _refuse_heterogeneous_tower(model)
+    spec = resolve_bert_config(model.text_tag, dict(model.text_arch or ()))
+    layer = BertLayer(num_heads=spec["num_heads"],
+                      intermediate_dim=spec["intermediate_dim"],
+                      dropout=0.0, dtype=model.dtype,
+                      quant=dict(model.text_arch or ()).get("quant", "none"))
+    x = model.apply(
+        params, input_ids,
+        method=lambda m, i: m.text_encoder.embed(i, None, True))
+    bias = None
+    if attention_mask is not None:
+        bias = padding_bias(attention_mask, jnp.float32)
+    stacked = stack_block_params(params["params"]["text_encoder"],
+                                 spec["depth"], prefix="layer_")
+    return pipeline_blocks(
+        layer, stacked, x, mesh, n_micro, aux=bias,
+        block_apply=lambda mod, p, h, a: mod.apply({"params": p}, h, a, True))
+
+
 def make_pp_forward(model, mesh: Mesh, n_micro: int):
-    """CLIP forward with the image tower pipelined over ``pipe``:
+    """CLIP forward with BOTH towers pipelined over ``pipe`` (sequential
+    pipelined regions sharing the stage mesh — each tower's block stack is
+    stage-sharded, so pp=2 halves the resident block weights of the WHOLE
+    196M flagship, not just the ViT's 86M):
     (params, batch) -> (image_emb, text_emb, temperature). Drop-in for the
     train step's model forward (engine/train_step.py clip_loss_fn
     ``forward_fn``); always deterministic (see module docstring)."""
@@ -190,9 +252,8 @@ def make_pp_forward(model, mesh: Mesh, n_micro: int):
         feat = tokens[:, 0] if model.pool_name == "identity" else tokens[:, 1:]
         img = model.apply(params, feat,
                           method=lambda m, f: m.forward_image_project(f, True))
-        txt_feat = model.apply(
-            params, batch["input_ids"], batch["attention_mask"],
-            method=lambda m, i, a: m.forward_text_feature(i, a, True))
+        txt_feat = pp_text_feature(model, params, batch["input_ids"],
+                                   batch["attention_mask"], mesh, n_micro)
         txt = model.apply(
             params, txt_feat, batch["attention_mask"],
             method=lambda m, f, a: m.forward_text_project(f, a, True))
