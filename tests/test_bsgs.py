@@ -36,6 +36,7 @@ def test_bsgs_grads_match_direct_autodiff():
     assert float(metrics["loss"]) == pytest.approx(float(true_loss), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_bsgs_temperature_gradient_exact():
     model = tiny_clip(temperature_init=0.07)
     batch = _batch(8, seed=4)
@@ -61,6 +62,7 @@ def test_bsgs_with_smoothing_matches_direct():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bsgs_deterministic_dropout_reforward():
     """Pass 2 must see the same dropout as pass 1 (the reference's
     stable_random re-seed, clip_bsgs_runner.py:310-312/:401-402) — grads are
@@ -115,6 +117,7 @@ def test_bsgs_with_group_size_matches_direct():
     assert float(metrics["loss"]) == pytest.approx(float(true_loss), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_bsgs_with_mixup_matches_direct():
     """Mixup-aware soft targets (clip_bsgs_runner.py:371-376): images mixed
     with the reversed pairing within each micro-batch, Y = lam*I +
@@ -174,6 +177,7 @@ def test_bsgs_combined_mask_group_smoothing_matches_direct():
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bsgs_train_step_on_mesh():
     model = tiny_clip()
     batch = _batch(16, seed=8)
@@ -191,6 +195,7 @@ def test_bsgs_train_step_on_mesh():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_bsgs_grads_match_direct_on_tp_mesh():
     """BSGS x tensor parallelism: the two scanned passes run with the
     Megatron param shardings (parallel/tp.py) and must still produce the

@@ -135,6 +135,7 @@ def test_ep_shardings_rules():
     assert ep_shardings(odd, mesh)["params"]["moe"]["w1"].spec == P()
 
 
+@pytest.mark.slow
 def test_moe_ep_step_matches_replicated():
     """EP-sharded expert weights (+ activation constraint) == the plain
     replicated MoE step."""

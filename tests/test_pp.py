@@ -155,6 +155,7 @@ def test_pp_gradients_match_plain():
                                    rtol=2e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_pp_step_matches_dp():
     """3 SGD steps with the image tower pipelined == 3 plain DP steps."""
     model = tiny_clip()
@@ -184,6 +185,7 @@ def test_pp_step_matches_dp():
                                    rtol=3e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pp_composes_with_zero1():
     """pp + dist.zero1: the GPipe forward runs under the factory-form step
     with sharded optimizer moments, matching plain DP numerics."""

@@ -200,6 +200,7 @@ def test_clip_model_tome_via_arch():
     assert np.isfinite(np.asarray(img)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["tp", "fsdp"])
 def test_tome_train_step_composes_with_sharded_towers(mode):
     """A ToMe tower trained under tp=2 / FSDP sharding matches plain DP

@@ -192,6 +192,7 @@ transforms:
 """
 
 
+@pytest.mark.slow
 def test_export_cli(tmp_path):
     """tools/export_torch_checkpoint.py end-to-end: native checkpoint in,
     reference-layout .pth out, bridge-loadable."""
