@@ -22,15 +22,33 @@ def intersect_and_union(
     label: jnp.ndarray,
     num_classes: int,
     ignore_index: int = 255,
+    label_map: tuple = (),
+    reduce_zero_label: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-image class-area histograms (parity: metrics.py:37-75).
 
     pred/label: integer maps of identical shape. Pixels where
     ``label == ignore_index`` are excluded. Returns (intersect, union,
     pred_area, label_area), each shape (num_classes,), float64-accumulable.
+
+    ``label_map``: ((old_id, new_id), ...) remaps applied to the label
+    SEQUENTIALLY on the mutated map — the reference (metrics.py:55-57)
+    rewrites the tensor in place per entry, so later entries see earlier
+    rewrites (a {1: 2, 2: 3} map sends original 1s to 3). Must be static
+    (hashable) under jit.
+    ``reduce_zero_label``: the reference's 0-is-unlabeled convention
+    (metrics.py:58-61): 0 -> ignored, every other id shifts down by 1
+    (original ``ignore_index`` stays ignored).
     """
     pred = pred.reshape(-1)
     label = label.reshape(-1)
+    for old_id, new_id in tuple(label_map):
+        label = jnp.where(label == old_id, new_id, label)
+    if reduce_zero_label:
+        # 0 -> 255; x -> x-1; 254 -> 255 (the masking below still uses the
+        # caller's ignore_index, exactly as the reference does)
+        label = jnp.where(label == 0, 255, label) - 1
+        label = jnp.where(label == 254, 255, label)
     valid = label != ignore_index
 
     def hist(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -57,15 +75,21 @@ def mean_iou(
     gt_seg_maps: Sequence[np.ndarray],
     num_classes: int,
     ignore_index: int = 255,
+    label_map=None,
+    reduce_zero_label: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Accumulate (intersection, union) over a list of images
     (parity: metrics.py:5-34 — returns the two accumulators; the caller
-    divides and nan-means)."""
+    divides and nan-means). ``label_map`` takes the reference's dict form
+    (insertion order = application order) or ((old, new), ...)."""
     total_i = np.zeros((num_classes,), dtype=np.float64)
     total_u = np.zeros((num_classes,), dtype=np.float64)
-    fn = jax.jit(intersect_and_union, static_argnums=(2, 3))
+    lmap = tuple(label_map.items() if isinstance(label_map, dict)
+                 else (label_map or ()))
+    fn = jax.jit(intersect_and_union, static_argnums=(2, 3, 4, 5))
     for pred, label in zip(results, gt_seg_maps):
-        i, u, _, _ = fn(jnp.asarray(pred), jnp.asarray(label), num_classes, ignore_index)
+        i, u, _, _ = fn(jnp.asarray(pred), jnp.asarray(label), num_classes,
+                        ignore_index, lmap, reduce_zero_label)
         total_i += np.asarray(i, dtype=np.float64)
         total_u += np.asarray(u, dtype=np.float64)
     return total_i, total_u

@@ -51,3 +51,32 @@ def to_list(x: Any) -> list:
     if isinstance(x, (list, tuple)):
         return list(x)
     return [x]
+
+
+def download(url: str, timeout: int = 20, retry: int = 3) -> bytes:
+    """Fetch a URL with bounded retries (parity: misc.py:416-430 — requests
+    loop retrying non-OK statuses; stdlib urllib here, no extra dep). Raises
+    after ``retry`` failed attempts."""
+    import urllib.error
+    import urllib.request
+
+    last_err: Exception | None = None
+    for _ in range(max(retry, 1)):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as rsp:
+                # file:// responses carry status None — treat as OK
+                status = getattr(rsp, "status", None) or 200
+                if 200 <= status < 300:
+                    return rsp.read()
+                last_err = RuntimeError(f"HTTP {status}")
+        except (urllib.error.URLError, OSError) as e:  # incl. timeouts
+            last_err = e
+    raise RuntimeError(f"download {url} failed") from last_err
+
+
+def download_to_local_file(url: str, local_path: str, timeout: int = 20,
+                           retry: int = 3) -> None:
+    """Fetch a URL to a file (parity: misc.py:433-436)."""
+    content = download(url, timeout=timeout, retry=retry)
+    with open(local_path, "wb") as f:
+        f.write(content)

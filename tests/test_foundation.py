@@ -60,6 +60,50 @@ def test_intersect_and_union_matches_numpy():
         assert int(u[c]) == np_p + np_l - np_i
 
 
+def test_intersect_and_union_label_map_and_reduce_zero():
+    """label_map applies sequentially on the mutated map (the reference's
+    in-place loop, metrics.py:55-57: {1: 2, 2: 3} sends original 1s all the
+    way to 3) and reduce_zero_label shifts ids down with 0/255 ignored
+    (metrics.py:58-61)."""
+    rng = np.random.default_rng(1)
+    pred = rng.integers(0, 4, size=(13, 17))
+    label = rng.integers(0, 5, size=(13, 17))
+    label[0, :5] = 255
+
+    # numpy re-derivation of the reference's exact in-place semantics
+    def ref(label, label_map, reduce_zero):
+        lab = label.copy()
+        for old, new in label_map:
+            lab[lab == old] = new
+        if reduce_zero:
+            lab[lab == 0] = 255
+            lab = lab - 1
+            lab[lab == 254] = 255
+        return lab
+
+    for lmap, rz in [(((1, 2), (2, 3)), False), ((), True),
+                     (((4, 1),), True)]:
+        lab_ref = ref(label, lmap, rz)
+        valid = lab_ref != 255
+        i, u, p, l = intersect_and_union(
+            jnp.asarray(pred), jnp.asarray(label), 4, 255,
+            label_map=lmap, reduce_zero_label=rz)
+        for c in range(4):
+            assert int(i[c]) == np.sum((pred == c) & (lab_ref == c) & valid)
+            assert int(l[c]) == np.sum((lab_ref == c) & valid)
+
+    # dict form through mean_iou (insertion order = application order)
+    ti, tu = mean_iou([pred], [label], num_classes=4, ignore_index=255,
+                      label_map={1: 2, 2: 3}, reduce_zero_label=False)
+    lab_ref = ref(label, ((1, 2), (2, 3)), False)
+    valid = lab_ref != 255
+    for c in range(4):
+        want_i = np.sum((pred == c) & (lab_ref == c) & valid)
+        want_u = (np.sum((pred == c) & valid)
+                  + np.sum((lab_ref == c) & valid) - want_i)
+        assert ti[c] == want_i and tu[c] == want_u
+
+
 def test_mean_iou_perfect_prediction():
     label = np.tile(np.arange(4, dtype=np.int32), (8, 1))
     ti, tu = mean_iou([label], [label], num_classes=4, ignore_index=255)
@@ -78,6 +122,22 @@ def test_miou_nan_classes_skipped():
     iou, m = miou_from_totals(ti, tu)
     assert np.isnan(iou[2]) and np.isnan(iou[3])
     assert m == 1.0
+
+
+def test_download_helpers(tmp_path):
+    """file:// URLs exercise the real urllib path without network egress
+    (parity: misc.py:416-436 download / download_to_local_file)."""
+    from simseg_tpu.utils.misc import download, download_to_local_file
+
+    src = tmp_path / "payload.bin"
+    src.write_bytes(b"hello-bytes")
+    url = src.as_uri()
+    assert download(url) == b"hello-bytes"
+    dst = tmp_path / "out.bin"
+    download_to_local_file(url, str(dst))
+    assert dst.read_bytes() == b"hello-bytes"
+    with pytest.raises(RuntimeError):
+        download((tmp_path / "missing.bin").as_uri(), retry=2)
 
 
 def test_topk_accuracy():
