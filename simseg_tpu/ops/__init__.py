@@ -1,5 +1,6 @@
 from simseg_tpu.ops.attention import multi_head_attention, padding_bias
-from simseg_tpu.ops.crf import dense_crf_batched, dense_crf_binary
+from simseg_tpu.ops.crf import (dense_crf_batched, dense_crf_batched_du,
+                                dense_crf_binary)
 from simseg_tpu.ops.grad_rev import grad_reverse
 from simseg_tpu.ops.interpolate_pe import bicubic_resize_2d, interpolate_pos_embed
 from simseg_tpu.ops.losses import (
@@ -20,6 +21,7 @@ __all__ = [
     "multi_head_attention",
     "padding_bias",
     "dense_crf_batched",
+    "dense_crf_batched_du",
     "dense_crf_binary",
     "grad_reverse",
     "bicubic_resize_2d",

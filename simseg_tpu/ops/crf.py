@@ -163,14 +163,52 @@ def dense_crf_batched(
     The batch dim is explicit (not vmap) so the streaming Pallas kernel gets
     a real batch grid dimension.
     """
-    bb, kk, h, w = probs.shape
+    p = jnp.clip(probs.astype(jnp.float32), 0.0, 1.0)
+    du = jnp.log(p + 1e-8) - jnp.log(1.0 - p + 1e-8)
+    return dense_crf_batched_du(
+        du, rgb, num_iters=num_iters, gaussian_sxy=gaussian_sxy,
+        gaussian_compat=gaussian_compat, bilateral_sxy=bilateral_sxy,
+        bilateral_srgb=bilateral_srgb, bilateral_compat=bilateral_compat,
+        bilateral_stride=bilateral_stride, bilateral_impl=bilateral_impl,
+        compute_dtype=compute_dtype,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_iters", "bilateral_stride", "gaussian_sxy", "gaussian_compat",
+        "bilateral_sxy", "bilateral_srgb", "bilateral_compat",
+        "bilateral_impl", "compute_dtype",
+    ),
+)
+def dense_crf_batched_du(
+    du: jnp.ndarray,
+    rgb: jnp.ndarray,
+    num_iters: int = 3,
+    gaussian_sxy: float = 3.0,
+    gaussian_compat: float = 3.0,
+    bilateral_sxy: float = 40.0,
+    bilateral_srgb: float = 13.0,
+    bilateral_compat: float = 10.0,
+    bilateral_stride: int = 4,
+    bilateral_impl: str = "auto",
+    compute_dtype: str = "auto",
+) -> jnp.ndarray:
+    """:func:`dense_crf_batched` taking the precomputed unary difference
+    ``du = log(p+eps) - log(1-p+eps)`` (f32, (B, K, H, W)) instead of
+    probabilities. The seg decode's probabilities are piecewise-constant
+    (nearest-upsampled from the patch grid), so computing du on the coarse
+    grid and nearest-upsampling it is bit-identical to upsampling p first —
+    this entry lets the caller skip every fine-grid unary pass."""
+    bb, kk, h, w = du.shape
     s = bilateral_stride
     assert h % s == 0 and w % s == 0, (h, w, s)
     n_small_static = (h // s) * (w // s)
 
     def _run(cdt, impl):
         return _mean_field_binary(
-            probs, rgb, num_iters=num_iters, gaussian_sxy=gaussian_sxy,
+            du, rgb, num_iters=num_iters, gaussian_sxy=gaussian_sxy,
             gaussian_compat=gaussian_compat, bilateral_sxy=bilateral_sxy,
             bilateral_srgb=bilateral_srgb, bilateral_compat=bilateral_compat,
             s=s, cdt=cdt, impl=impl,
@@ -198,11 +236,10 @@ def dense_crf_batched(
 
 
 def _mean_field_binary(
-    probs, rgb, *, num_iters, gaussian_sxy, gaussian_compat, bilateral_sxy,
+    du_f32, rgb, *, num_iters, gaussian_sxy, gaussian_compat, bilateral_sxy,
     bilateral_srgb, bilateral_compat, s, cdt, impl,
 ):
-    bb, kk, h, w = probs.shape
-    p = jnp.clip(probs.astype(jnp.float32), 0.0, 1.0)
+    bb, kk, h, w = du_f32.shape
     # Binary-label reduction: with labels {bg, fg} and symmetric
     # normalization, the full 2-channel mean-field update
     #     q' = softmax(-u + w K q)        (per label)
@@ -215,7 +252,7 @@ def _mean_field_binary(
     # the kernel matmul width versus the generic L-label formulation; the
     # fixed point is identical (verified against the 2-channel numpy
     # mean-field in tests).
-    du = (jnp.log(p + 1e-8) - jnp.log(1.0 - p + 1e-8)).astype(cdt)
+    du = du_f32.astype(cdt)
 
     taps = jnp.asarray(_gaussian_taps(gaussian_sxy))
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from simseg_tpu.ops.crf import dense_crf_batched
+from simseg_tpu.ops.crf import dense_crf_batched_du
 from simseg_tpu.ops.morphology import closing, nearest_upsample
 
 
@@ -89,11 +89,17 @@ def make_seg_decode_fn(
         amin = jnp.min(attn, axis=(-2, -1), keepdims=True)
         amax = jnp.max(attn, axis=(-2, -1), keepdims=True)
         probs = (attn - amin) / jnp.maximum(amax - amin, 1e-12)
-        probs = nearest_upsample(probs, patch_size)           # (B, K, H, W)
 
-        # 4. CRF refinement, one shared bilateral kernel per image (:153)
-        masks = dense_crf_batched(
-            probs, raw_images, num_iters=crf_iters,
+        # 4. CRF refinement, one shared bilateral kernel per image (:153).
+        # The unary difference log(p)-log(1-p) is elementwise, so it too is
+        # computed on the coarse grid and nearest-upsampled — bit-identical
+        # to upsampling the probabilities first, without ever materializing
+        # a fine-grid f32 probability tensor.
+        p = jnp.clip(probs, 0.0, 1.0)
+        du = jnp.log(p + 1e-8) - jnp.log(1.0 - p + 1e-8)
+        du = nearest_upsample(du, patch_size)                  # (B, K, H, W)
+        masks = dense_crf_batched_du(
+            du, raw_images, num_iters=crf_iters,
             bilateral_stride=bilateral_stride,
             bilateral_impl=crf_backend,
             compute_dtype=compute_dtype,

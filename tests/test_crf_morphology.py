@@ -1,6 +1,7 @@
 """On-device CRF and morphology vs exact numpy mean-field and cv2."""
 
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -100,6 +101,25 @@ def test_crf_stride4_approximates_stride1():
     assert (exact == approx).mean() >= 0.97
 
 
+def test_crf_du_entry_matches_probs_entry():
+    """dense_crf_batched_du(log(p)-log(1-p)) == dense_crf_batched(p): the
+    coarse-unary rearrangement the seg decode uses must be bit-identical."""
+    from simseg_tpu.ops.crf import dense_crf_batched, dense_crf_batched_du
+    from simseg_tpu.ops.morphology import nearest_upsample
+
+    rng = np.random.default_rng(7)
+    coarse = rng.uniform(0.0, 1.0, (2, 3, 8, 8)).astype(np.float32)
+    probs = np.asarray(nearest_upsample(jnp.asarray(coarse), 4))  # (2,3,32,32)
+    rgb = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8))
+
+    via_probs = dense_crf_batched(jnp.asarray(probs), rgb, bilateral_stride=4)
+    p = np.clip(coarse, 0.0, 1.0)
+    du_coarse = np.log(p + 1e-8) - np.log(1.0 - p + 1e-8)
+    du = nearest_upsample(jnp.asarray(du_coarse), 4)
+    via_du = dense_crf_batched_du(du, rgb, bilateral_stride=4)
+    assert np.array_equal(np.asarray(via_probs), np.asarray(via_du))
+
+
 def test_crf_sharpens_noisy_mask():
     """CRF should clean salt-and-pepper noise inside color-coherent regions."""
     rng = np.random.default_rng(3)
@@ -132,6 +152,27 @@ def test_dilate_erode_match_cv2():
     want_close = cv2.erode(cv2.dilate(mask, kernel), kernel)
     got_close = np.asarray(closing(jnp.asarray(mask.astype(np.float32)), 7))
     np.testing.assert_array_equal(got_close.astype(np.uint8), want_close)
+
+
+def test_binary_closing_matmul_matches_reduce_window():
+    """The MXU band-matmul closing must equal the reduce_window closing on
+    0/1 masks, for every dtype the decode uses and both ksize parities."""
+    from simseg_tpu.ops.morphology import binary_closing_matmul, closing
+
+    rng = np.random.default_rng(11)
+    for shape in [(2, 3, 24, 24), (1, 1, 17, 29)]:
+        mask = (rng.random(shape) > 0.7)
+        for dtype in (np.float32, jnp.bfloat16):
+            x = jnp.asarray(mask).astype(dtype)
+            for k in (7, 3, 4):
+                # jit like the decode does (the CPU backend's EAGER bf16
+                # transposed-dot path is unsupported; compiled it is fine)
+                want = np.asarray(jax.jit(closing, static_argnums=1)(
+                    x, k).astype(np.float32))
+                got = np.asarray(jax.jit(
+                    binary_closing_matmul, static_argnums=1)(
+                    x, k).astype(np.float32))
+                assert np.array_equal(want, got), (shape, dtype, k)
 
 
 def test_nearest_upsample_matches_torch():
