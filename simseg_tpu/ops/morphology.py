@@ -51,6 +51,65 @@ def closing(x: jnp.ndarray, ksize: int = 7) -> jnp.ndarray:
     return erode(dilate(x, ksize), ksize)
 
 
+def _binary_band(n: int, ksize: int, dtype) -> jnp.ndarray:
+    """(n, n) 0/1 band: B[w, v] = 1 iff |w - v| <= ksize//2 — one 1-D
+    max/min window as a matmul column count."""
+    i = jnp.arange(n)
+    d = i[:, None] - i[None, :]  # w - v (w summed over, v the output)
+    pad = ksize // 2
+    # window of output v is w in [v - pad, v + ksize - 1 - pad], matching
+    # _sep_window's (pad, ksize - 1 - pad) padding for any ksize parity
+    return ((d >= -pad) & (d <= ksize - 1 - pad)).astype(dtype)
+
+
+def binary_closing_matmul(x: jnp.ndarray, ksize: int = 7) -> jnp.ndarray:
+    """``closing`` for 0/1-valued float inputs via banded matmuls on the MXU
+    instead of ``lax.reduce_window``: a binary window-max is (count > 0) and
+    a binary window-min is (count == valid taps), with the counts from one
+    (H, W) x (W, W) band matmul per axis. Exact for inputs in {0, 1}
+    (integer counts <= ksize are exact in f32 MXU accumulation); border
+    semantics match dilate/erode's BORDER_CONSTANT identity padding."""
+    *lead, h, w = x.shape
+    xr = x.reshape(-1, h, w)
+
+    def run(dot_dtype):
+        # counts are integers <= ksize — exact in any matmul dtype/precision
+        band_w = _binary_band(w, ksize, dot_dtype)
+        band_h = _binary_band(h, ksize, dot_dtype)
+        cnt_w = jnp.sum(band_w.astype(jnp.float32), axis=0)  # taps/column
+        cnt_h = jnp.sum(band_h.astype(jnp.float32), axis=0)
+
+        def rows(v, band):
+            return jnp.einsum("nhw,wv->nhv", v, band,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+
+        def cols(v, band):
+            return jnp.einsum("nhv,hu->nuv", v, band,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+
+        v = xr.astype(dot_dtype)
+        v = (rows(v, band_w) > 0.5).astype(dot_dtype)          # dilate rows
+        v = (cols(v, band_h) > 0.5).astype(dot_dtype)          # dilate cols
+        v = (rows(v, band_w) >= cnt_w[None, None, :] - 0.5).astype(dot_dtype)
+        v = (cols(v, band_h) >= cnt_h[None, :, None] - 0.5)
+        return v.astype(x.dtype)
+
+    if jnp.dtype(x.dtype) == jnp.bfloat16:
+        # bf16 operands ride the MXU natively on TPU; the CPU backend's
+        # bf16xbf16->f32 dot is unsupported in some dispatch paths, so lower
+        # an f32 dot there (resolved per LOWERING platform, keeping
+        # cross-platform serving exports correct)
+        y = jax.lax.platform_dependent(
+            tpu=lambda: run(jnp.bfloat16),
+            default=lambda: run(jnp.float32),
+        )
+    else:
+        y = run(x.dtype)
+    return y.reshape(*lead, h, w)
+
+
 def nearest_upsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Integer-factor nearest upsample of (..., H, W) — matches
     ``F.interpolate(scale_factor=f, mode='nearest')``
