@@ -1,0 +1,216 @@
+"""Scripted TPU re-verification session (round-3 VERDICT next #7).
+
+One command that re-verifies everything only real hardware can: the bench
+lanes, the Pallas attention kernels in their measured bands, the Pallas CRF
+kernel against the XLA formulation, and (optionally) the production-settings
+parity harness. Prints a pass/fail table and exits non-zero on any failure,
+so every hardware session stops being ad-hoc.
+
+Each stage runs in its OWN subprocess with a hard timeout: a stalled axon
+tunnel (the documented quirk) fails that stage with TIMEOUT instead of
+hanging the session.
+
+Usage:
+    python tools/tpu_smoke.py                 # bench + kernels (~10 min)
+    python tools/tpu_smoke.py --stages bench
+    python tools/tpu_smoke.py --parity        # adds the seg-parity lanes (slow)
+    python tools/tpu_smoke.py --out smoke.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_sub(code: str, timeout: int, env_extra=None):
+    """Run a python snippet in a fresh subprocess; return (ok, output)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(env_extra or {})
+    try:
+        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout, env=env, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return False, "TIMEOUT"
+    out = (p.stdout + p.stderr).strip()
+    return p.returncode == 0, out
+
+
+def last_json_line(out: str):
+    for line in reversed(out.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+# --------------------------------------------------------------- stages
+
+def stage_tunnel(results, timeout):
+    code = (
+        "import time, jax, jax.numpy as jnp\n"
+        "t0=time.time(); x=jnp.ones((256,256)); v=float((x@x).sum())\n"
+        "print('OK', jax.devices()[0].platform, round(time.time()-t0,1))\n"
+    )
+    ok, out = run_sub(code, timeout)
+    results.append(("tunnel", ok and "OK" in out, out.splitlines()[-1] if out else ""))
+    return ok
+
+
+def stage_bench(results, timeout, iters=None):
+    lanes = [
+        ("bench_float", {}),
+        ("bench_tome16", {"SIMSEG_BENCH_TOME": "16"}),
+        ("bench_int8", {"SIMSEG_BENCH_QUANT": "int8"}),
+        ("bench_int8_static", {"SIMSEG_BENCH_QUANT": "int8_static"}),
+        ("bench_tome16_int8_static",
+         {"SIMSEG_BENCH_TOME": "16", "SIMSEG_BENCH_QUANT": "int8_static"}),
+    ]
+    for name, env in lanes:
+        if iters:
+            env = {**env, "SIMSEG_BENCH_ITERS": str(iters),
+                   "SIMSEG_BENCH_TRIALS": "3"}
+        ok, out = run_sub("import runpy; runpy.run_path('bench.py', "
+                          "run_name='__main__')", timeout, env)
+        row = last_json_line(out)
+        val = f"{row['value']:.0f} img/s ({row['vs_baseline']}x)" if row else out[-120:]
+        results.append((name, ok and row is not None, val))
+
+
+def stage_attention(results, timeout):
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from simseg_tpu.ops.flash_attention import (_reference_mha, flash_mha,
+                                            flash_mha_rowblock,
+                                            flash_mha_stream)
+
+rng = np.random.default_rng(0)
+for name, fn, t in [('whole', flash_mha, 325),
+                    ('rowblock', flash_mha_rowblock, 2048),
+                    ('stream', flash_mha_stream, 4608)]:
+    # (B, T, H, hd) with q pre-scaled by 1/sqrt(hd) — the kernels' contract
+    q, k, v = (jnp.asarray(rng.normal(size=(2, t, 4, 64)).astype(np.float32)
+                           * 0.5) for _ in range(3))
+    q = q / np.sqrt(64.0)
+    got = jax.jit(fn)(q, k, v)
+    want = jax.jit(_reference_mha)(q, k, v)
+    err = float(jnp.max(jnp.abs(got - want)))
+    g = jax.jit(jax.grad(lambda a, b, c: jnp.sum(fn(a, b, c) ** 2)))(q, k, v)
+    gr = jax.jit(jax.grad(
+        lambda a, b, c: jnp.sum(_reference_mha(a, b, c) ** 2)))(q, k, v)
+    gerr = float(jnp.max(jnp.abs(g - gr)))
+    assert err < 2e-2 and gerr < 5e-2, (name, err, gerr)
+    print(f'ATT {name} T={t} fwd_err={err:.2e} bwd_err={gerr:.2e}')
+print('OK')
+"""
+    ok, out = run_sub(code, timeout)
+    tail = "; ".join(l for l in out.splitlines() if l.startswith("ATT"))
+    results.append(("attention_kernels", ok and "OK" in out,
+                    tail or out[-120:]))
+
+
+def stage_crf(results, timeout):
+    code = """
+import numpy as np, jax.numpy as jnp
+from simseg_tpu.ops.crf import dense_crf_batched
+
+rng = np.random.default_rng(0)
+probs = jnp.asarray(rng.uniform(0.05, 0.95, (2, 3, 288, 288)).astype(np.float32))
+rgb = jnp.asarray(rng.integers(0, 255, (2, 288, 288, 3)).astype(np.uint8))
+a = dense_crf_batched(probs, rgb, bilateral_stride=8, bilateral_impl='pallas')
+b = dense_crf_batched(probs, rgb, bilateral_stride=8, bilateral_impl='xla')
+agree = float((np.asarray(a) == np.asarray(b)).mean())
+assert agree > 0.999, agree
+print(f'CRF pallas-vs-xla argmax agreement {agree:.4%}')
+print('OK')
+"""
+    ok, out = run_sub(code, timeout)
+    tail = next((l for l in out.splitlines() if l.startswith("CRF")), out[-120:])
+    results.append(("crf_pallas", ok and "OK" in out, tail))
+
+
+def stage_parity(results, timeout, lanes):
+    for name, args in lanes:
+        code = (
+            "import sys; sys.argv=['seg_parity'] + " + repr(args) + "\n"
+            "import runpy; runpy.run_path('tools/seg_parity.py', "
+            "run_name='__main__')\n"
+        )
+        ok, out = run_sub(code, timeout)
+        row = last_json_line(out)
+        if row:
+            pix = 100.0 * row.get("pixel_disagreement", 1.0)
+            miou_d = abs(row.get("miou_delta", 100.0))
+            val = f"pix {pix:.2f}% miou_d {miou_d:.2f}pt"
+            gate = pix < 4.0 and miou_d < 0.5
+        else:
+            val, gate = out[-120:], False
+        results.append((f"parity_{name}", ok and gate, val))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", default="tunnel,bench,attention,crf",
+                    help="comma list: tunnel,bench,attention,crf,parity")
+    ap.add_argument("--parity", action="store_true",
+                    help="append the parity stage (slow: exact torch CRF)")
+    ap.add_argument("--bench_iters", type=int, default=0,
+                    help="override bench iters (smoke-size runs)")
+    ap.add_argument("--timeout", type=int, default=900,
+                    help="per-stage subprocess timeout (s)")
+    ap.add_argument("--out", default="", help="write results JSON here")
+    args = ap.parse_args()
+
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    if args.parity and "parity" not in stages:
+        stages.append("parity")
+
+    results = []
+    t0 = time.time()
+    for s in stages:
+        print(f"[tpu_smoke] running stage {s} ...", flush=True)
+        if s == "tunnel":
+            if not stage_tunnel(results, args.timeout):
+                print("[tpu_smoke] tunnel dead — skipping remaining stages")
+                break
+        elif s == "bench":
+            stage_bench(results, args.timeout, args.bench_iters)
+        elif s == "attention":
+            stage_attention(results, args.timeout)
+        elif s == "crf":
+            stage_crf(results, args.timeout)
+        elif s == "parity":
+            stage_parity(results, args.timeout * 4, [
+                ("float", ["--images", "4"]),
+                ("tome16_int8s", ["--images", "4", "--tome_r", "16",
+                                  "--quant", "int8_static"]),
+            ])
+        else:
+            results.append((s, False, "unknown stage"))
+
+    width = max((len(n) for n, _, _ in results), default=10)
+    print(f"\n== tpu_smoke results ({time.time() - t0:.0f}s) ==")
+    fails = 0
+    for name, ok, detail in results:
+        mark = "PASS" if ok else "FAIL"
+        fails += not ok
+        print(f"{name:<{width}}  {mark}  {detail}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump([{"stage": n, "ok": bool(o), "detail": d}
+                       for n, o, d in results], f, indent=1)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
