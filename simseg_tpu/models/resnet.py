@@ -158,10 +158,17 @@ def build_resnet(tag: str, dtype: jnp.dtype = jnp.float32,
     if arch:
         spec.update({k: v for k, v in dict(arch).items() if v is not None})
     if "layers" not in spec:
+        # the reference's timm_builder.py:7-20 instantiates ANY timm tag;
+        # this framework's CNN surface is the ResNet family (+ arbitrary
+        # ResNet shapes via arch) — other CNN families (efficientnet,
+        # convnext, ...) refuse loudly here rather than mis-building
         raise KeyError(
-            f"Unknown ResNet tag '{tag}' (known: "
-            f"{sorted(RESNET_CONFIGS) + sorted(_RESNET_FAMILY)}) and "
-            "model.image_encoder.arch does not declare 'layers'"
+            f"Unknown CNN tag '{tag}'. Supported image towers: any standard "
+            f"timm ViT tag (pattern-parsed, models/vit.py), the ResNet "
+            f"family {sorted(RESNET_CONFIGS) + sorted(_RESNET_FAMILY)}, or "
+            "an arbitrary ResNet shape declared via model.image_encoder."
+            "arch={'layers': ..., 'width': ..., 'block': ...}. Other timm "
+            "CNN families are not implemented."
         )
     spec["layers"] = tuple(spec["layers"])
     return ResNet(dtype=dtype, **spec)

@@ -434,7 +434,7 @@ def build_fixture(root, n_images: int, n_classes: int, seed: int,
 
 def make_parity_cfg(root, n_images: int, size: int = 288,
                     batch_size_val: int = 2, tome_r: int = 0,
-                    quant: str = "none"):
+                    quant: str = "none", stride: int = 8):
     from simseg_tpu.config import new_base_cfg, update_cfg
     from simseg_tpu.tasks.clip.config import task_cfg_init_fn
 
@@ -476,6 +476,10 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
         # harness exercises the same lane)
         "dist.bf16=True",
         "seg_eval.crf_dtype=bfloat16",
+        # CRF bilateral stride (default 8 = the production setting; the
+        # torch reference side is exact/stride-free either way, so coarser
+        # strides are priced directly against the exact decode)
+        f"seg_eval.bilateral_stride={int(stride)}",
         f"transforms.input_size={size}",
         f"transforms.resize.size={size}",
         "transforms.valid_transforms=[resize]",
@@ -484,7 +488,7 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
 
 def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
                size: int = 288, root=None, tome_r: int = 0,
-               quant: str = "none") -> dict:
+               quant: str = "none", stride: int = 8) -> dict:
     """Run both pipelines on the same fixture; return the metric dict.
     Owns (and removes) a temp fixture dir unless ``root`` is given."""
     owns_root = root is None
@@ -492,7 +496,7 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
         root = tempfile.mkdtemp(prefix="seg_parity_")
     try:
         return _run_parity(root, n_images, n_classes, seed, size, tome_r,
-                           quant)
+                           quant, stride)
     finally:
         if owns_root:
             import shutil
@@ -501,7 +505,7 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
 
 
 def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
-                quant="none") -> dict:
+                quant="none", stride=8) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -520,7 +524,8 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
 
     classes, tmodel, ckpt = build_fixture(root, n_images, n_classes, seed,
                                           size)
-    cfg = make_parity_cfg(root, n_images, size, tome_r=tome_r, quant=quant)
+    cfg = make_parity_cfg(root, n_images, size, tome_r=tome_r, quant=quant,
+                          stride=stride)
 
     # shared tokenizer: specials + every word the prompt bank and class
     # names can produce
@@ -697,9 +702,13 @@ def main():
                     help="token merging r (quality-cost measurement)")
     ap.add_argument("--quant", type=str, default="none",
                     help="int8 PTQ inference lane (quality-cost measurement)")
+    ap.add_argument("--stride", type=int, default=8,
+                    help="CRF bilateral stride (coarser = faster decode; "
+                         "priced against the exact stride-free reference)")
     args = ap.parse_args()
     out = run_parity(args.images, args.classes, args.seed, args.size,
-                     tome_r=args.tome_r, quant=args.quant)
+                     tome_r=args.tome_r, quant=args.quant,
+                     stride=args.stride)
     print(json.dumps(out))
 
 
