@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from simseg_tpu.ops.crf import dense_crf_batched_du
-from simseg_tpu.ops.morphology import closing, nearest_upsample
+from simseg_tpu.ops.morphology import (
+    binary_closing_matmul,
+    closing,
+    nearest_upsample,
+)
 
 
 def make_seg_decode_fn(
@@ -36,6 +40,7 @@ def make_seg_decode_fn(
     crf_iters: int = 3,
     bilateral_stride: int = 8,
     morphology_ksize: int = 7,
+    morphology_impl: str = "window",
     crf_backend: str = "auto",
     compute_dtype: str = "auto",
 ):
@@ -109,8 +114,15 @@ def make_seg_decode_fn(
         # tensors ride the CRF's compute dtype (bf16 on TPU — masks are 0/1
         # so the separable min/max closing is exact; the score weighting
         # decision is a strict ordering of a handful of scores, done in f32)
+        # impl knob: 'window' = separable lax.reduce_window max/min passes;
+        # 'matmul' = banded-matmul count closing on the MXU (exact on the
+        # CRF's 0/1 masks — ops/morphology.binary_closing_matmul). Which wins
+        # is a hardware question; the decode-attribution harness A/Bs both.
+        _close_op = (binary_closing_matmul if morphology_impl == "matmul"
+                     else closing)
+
         def _close_in(cdt):
-            return closing(masks.astype(cdt), morphology_ksize).astype(
+            return _close_op(masks.astype(cdt), morphology_ksize).astype(
                 jnp.float32)
 
         if compute_dtype == "auto":

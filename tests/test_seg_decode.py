@@ -122,3 +122,19 @@ def test_seg_decode_threshold_semantics():
     left, right = pred[0, :, :16], pred[0, :, 16:]
     assert (left == 3).mean() > 0.8
     assert (right == 0).mean() > 0.8
+
+
+def test_seg_decode_morphology_impl_equality():
+    """morphology_impl='matmul' (MXU banded-count closing) is bit-identical
+    to the reduce_window closing on the decode's 0/1 CRF masks."""
+    dense, pooled, text_bank, raw, _ = make_synthetic(seed=3)
+    kw = dict(num_classes=16, image_size=32, patch_size=8, top_cls_num=10,
+              candidate_classes=3, bilateral_stride=4)
+    d_win = make_seg_decode_fn(**kw, morphology_impl="window")
+    d_mm = make_seg_decode_fn(**kw, morphology_impl="matmul")
+    args = (jnp.asarray(dense), jnp.asarray(pooled), jnp.asarray(text_bank),
+            jnp.asarray(raw))
+    p1, w1 = jax.jit(d_win)(*args)
+    p2, w2 = jax.jit(d_mm)(*args)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=0, atol=0)

@@ -80,6 +80,7 @@ def main():
     time_decode("decode_iters1", crf_iters=1)
     time_decode("decode_no_morph", morphology_ksize=1)
     time_decode("decode_no_crf_no_morph", crf_iters=0, morphology_ksize=1)
+    time_decode("decode_closing_matmul", morphology_impl="matmul")
 
     # CRF alone, both bilateral impls
     for impl in ("xla", "pallas"):
@@ -100,6 +101,15 @@ def main():
 
     add("closing7_only", timed_secs(jax.jit(close_fn), (masks,),
                                     iters=args.iters, trials=args.trials))
+
+    from simseg_tpu.ops.morphology import binary_closing_matmul
+
+    def close_mm_fn(m, acc):
+        return acc + jnp.sum(binary_closing_matmul(m, 7)).astype(jnp.float32)
+
+    add("closing7_matmul_only", timed_secs(jax.jit(close_mm_fn), (masks,),
+                                           iters=args.iters,
+                                           trials=args.trials))
 
     print("\n== derived attribution (stride 8, ms/call) ==")
     t = {n: ms for n, ms, _ in rows}
