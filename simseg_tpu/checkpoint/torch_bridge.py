@@ -212,6 +212,94 @@ def _resnet_entries(prefix: str, params_dest: Tuple[str, ...],
     yield from bn_entries("downsample.1", "downsample_bn", blk, scoped=True)
 
 
+def _convnext_entries(prefix: str, params_dest: Tuple[str, ...]):
+    """(regex, path_fn, convert_fn) entries for a timm-0.6.x ConvNeXt under
+    ``prefix`` (models/convnext.py layout; no BN — everything is params)."""
+    P = re.escape(prefix)
+
+    def conv(x):  # (O, I', kh, kw) -> (kh, kw, I', O); depthwise included
+        return np.transpose(x, (2, 3, 1, 0))
+
+    def t(x):
+        return x.T
+
+    ln = {"weight": "scale", "bias": "bias"}
+    yield (rf"^{P}stem\.0\.weight$",
+           lambda m: params_dest + ("stem_conv", "kernel"), conv)
+    yield (rf"^{P}stem\.0\.bias$",
+           lambda m: params_dest + ("stem_conv", "bias"), None)
+    yield (rf"^{P}stem\.1\.(weight|bias)$",
+           lambda m: params_dest + ("stem_norm", ln[m.group(1)]), None)
+    yield (rf"^{P}stages\.(\d+)\.downsample\.0\.(weight|bias)$",
+           lambda m: params_dest + (f"downsample_norm{m.group(1)}",
+                                    ln[m.group(2)]), None)
+    yield (rf"^{P}stages\.(\d+)\.downsample\.1\.weight$",
+           lambda m: params_dest + (f"downsample_conv{m.group(1)}", "kernel"),
+           conv)
+    yield (rf"^{P}stages\.(\d+)\.downsample\.1\.bias$",
+           lambda m: params_dest + (f"downsample_conv{m.group(1)}", "bias"),
+           None)
+    blk = rf"^{P}stages\.(\d+)\.blocks\.(\d+)\."
+
+    def bdst(m, *tail):
+        return params_dest + (f"stage{m.group(1)}_block{m.group(2)}",) + tail
+
+    yield (blk + r"conv_dw\.weight$",
+           lambda m: bdst(m, "conv_dw", "kernel"), conv)
+    yield (blk + r"conv_dw\.bias$", lambda m: bdst(m, "conv_dw", "bias"), None)
+    yield (blk + r"norm\.(weight|bias)$",
+           lambda m: bdst(m, "norm", ln[m.group(3)]), None)
+    yield (blk + r"mlp\.(fc1|fc2)\.weight$",
+           lambda m: bdst(m, m.group(3), "kernel"), t)
+    yield (blk + r"mlp\.(fc1|fc2)\.bias$",
+           lambda m: bdst(m, m.group(3), "bias"), None)
+    yield (blk + r"gamma$", lambda m: bdst(m, "gamma"), None)
+    yield (rf"^{P}head\.norm\.(weight|bias)$",
+           lambda m: params_dest + ("head_norm", ln[m.group(1)]), None)
+
+
+def _efficientnet_entries(prefix: str, params_dest: Tuple[str, ...],
+                          stats_dest: Tuple[str, ...]):
+    """(regex, path_fn, convert_fn) entries for a timm-0.6.x (plain)
+    EfficientNet under ``prefix`` (models/efficientnet.py layout)."""
+    P = re.escape(prefix)
+
+    def conv(x):
+        return np.transpose(x, (2, 3, 1, 0))
+
+    bn_leaf = {"weight": ("p", "scale"), "bias": ("p", "bias"),
+               "running_mean": ("s", "mean"), "running_var": ("s", "var")}
+
+    def bn_path(scope, leaf_key, bn_name):
+        kind, leaf = bn_leaf[leaf_key]
+        root = params_dest if kind == "p" else stats_dest
+        return root + scope + (bn_name, leaf)
+
+    # stem / head (anchored so block-level bn1/bn2 never match)
+    yield (rf"^{P}conv_stem\.weight$",
+           lambda m: params_dest + ("conv_stem", "kernel"), conv)
+    yield (rf"^{P}(bn1|bn2)\.(weight|bias|running_mean|running_var)$",
+           lambda m: bn_path((), m.group(2), m.group(1)), None)
+    yield (rf"^{P}conv_head\.weight$",
+           lambda m: params_dest + ("conv_head", "kernel"), conv)
+    # blocks
+    blk = rf"^{P}blocks\.(\d+)\.(\d+)\."
+
+    def bscope(m):
+        return (f"blocks_{m.group(1)}_{m.group(2)}",)
+
+    yield (blk + r"(conv_pw|conv_dw|conv_pwl)\.weight$",
+           lambda m: params_dest + bscope(m) + (m.group(3), "kernel"), conv)
+    yield (blk + r"(bn\d)\.(weight|bias|running_mean|running_var)$",
+           lambda m: bn_path(bscope(m), m.group(4), m.group(3)), None)
+    yield (blk + r"se\.(conv_reduce|conv_expand)\.weight$",
+           lambda m: params_dest + bscope(m) + ("se", m.group(3), "kernel"),
+           conv)
+    yield (blk + r"se\.(conv_reduce|conv_expand)\.bias$",
+           lambda m: params_dest + bscope(m) + ("se", m.group(3), "bias"),
+           None)
+
+
 def _projection_entries(torch_prefix: str, dest_name: str, projection: str):
     P = re.escape(torch_prefix)
 
@@ -241,6 +329,13 @@ def clip_mapping_table(projection: str = "simple"):
     table = []
     table += list(_vit_entries("image_encoder.model.model.", ("params", "image_encoder")))
     table += list(_resnet_entries(
+        "image_encoder.model.model.",
+        ("params", "image_encoder"),
+        ("batch_stats", "image_encoder"),
+    ))
+    table += list(_convnext_entries(
+        "image_encoder.model.model.", ("params", "image_encoder")))
+    table += list(_efficientnet_entries(
         "image_encoder.model.model.",
         ("params", "image_encoder"),
         ("batch_stats", "image_encoder"),

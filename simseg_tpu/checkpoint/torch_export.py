@@ -87,6 +87,60 @@ def _image_param_entries(prefix: str):
     yield (r"^layer(\d+)_(\d+)/downsample_bn/(scale|bias)$",
            lambda m: f"{prefix}layer{m.group(1)}.{m.group(2)}."
                      f"downsample.1.{_LN[m.group(3)]}", None)
+    # --- timm ConvNeXt (inverse of torch_bridge._convnext_entries) ---
+    yield (r"^stem_conv/kernel$", lambda m: f"{prefix}stem.0.weight",
+           _inv_conv)
+    yield (r"^stem_conv/bias$", lambda m: f"{prefix}stem.0.bias", None)
+    yield (r"^stem_norm/(scale|bias)$",
+           lambda m: f"{prefix}stem.1.{_LN[m.group(1)]}", None)
+    yield (r"^downsample_norm(\d+)/(scale|bias)$",
+           lambda m: f"{prefix}stages.{m.group(1)}.downsample.0."
+                     f"{_LN[m.group(2)]}", None)
+    yield (r"^downsample_conv(\d+)/kernel$",
+           lambda m: f"{prefix}stages.{m.group(1)}.downsample.1.weight",
+           _inv_conv)
+    yield (r"^downsample_conv(\d+)/bias$",
+           lambda m: f"{prefix}stages.{m.group(1)}.downsample.1.bias", None)
+    yield (r"^stage(\d+)_block(\d+)/conv_dw/kernel$",
+           lambda m: f"{prefix}stages.{m.group(1)}.blocks.{m.group(2)}."
+                     "conv_dw.weight", _inv_conv)
+    yield (r"^stage(\d+)_block(\d+)/conv_dw/bias$",
+           lambda m: f"{prefix}stages.{m.group(1)}.blocks.{m.group(2)}."
+                     "conv_dw.bias", None)
+    yield (r"^stage(\d+)_block(\d+)/norm/(scale|bias)$",
+           lambda m: f"{prefix}stages.{m.group(1)}.blocks.{m.group(2)}."
+                     f"norm.{_LN[m.group(3)]}", None)
+    yield (r"^stage(\d+)_block(\d+)/(fc1|fc2)/kernel$",
+           lambda m: f"{prefix}stages.{m.group(1)}.blocks.{m.group(2)}."
+                     f"mlp.{m.group(3)}.weight", _t)
+    yield (r"^stage(\d+)_block(\d+)/(fc1|fc2)/bias$",
+           lambda m: f"{prefix}stages.{m.group(1)}.blocks.{m.group(2)}."
+                     f"mlp.{m.group(3)}.bias", None)
+    yield (r"^stage(\d+)_block(\d+)/gamma$",
+           lambda m: f"{prefix}stages.{m.group(1)}.blocks.{m.group(2)}."
+                     "gamma", None)
+    yield (r"^head_norm/(scale|bias)$",
+           lambda m: f"{prefix}head.norm.{_LN[m.group(1)]}", None)
+    # --- timm EfficientNet (inverse of torch_bridge._efficientnet_entries;
+    #     bn1 params ride the ResNet bn1 entry above) ---
+    yield (r"^conv_stem/kernel$", lambda m: f"{prefix}conv_stem.weight",
+           _inv_conv)
+    yield (r"^bn2/(scale|bias)$",
+           lambda m: f"{prefix}bn2.{_LN[m.group(1)]}", None)
+    yield (r"^conv_head/kernel$", lambda m: f"{prefix}conv_head.weight",
+           _inv_conv)
+    yield (r"^blocks_(\d+)_(\d+)/(conv_pw|conv_dw|conv_pwl)/kernel$",
+           lambda m: f"{prefix}blocks.{m.group(1)}.{m.group(2)}."
+                     f"{m.group(3)}.weight", _inv_conv)
+    yield (r"^blocks_(\d+)_(\d+)/(bn\d)/(scale|bias)$",
+           lambda m: f"{prefix}blocks.{m.group(1)}.{m.group(2)}."
+                     f"{m.group(3)}.{_LN[m.group(4)]}", None)
+    yield (r"^blocks_(\d+)_(\d+)/se/(conv_reduce|conv_expand)/kernel$",
+           lambda m: f"{prefix}blocks.{m.group(1)}.{m.group(2)}.se."
+                     f"{m.group(3)}.weight", _inv_conv)
+    yield (r"^blocks_(\d+)_(\d+)/se/(conv_reduce|conv_expand)/bias$",
+           lambda m: f"{prefix}blocks.{m.group(1)}.{m.group(2)}.se."
+                     f"{m.group(3)}.bias", None)
 
 
 def _image_stat_entries(prefix: str):
@@ -99,6 +153,12 @@ def _image_stat_entries(prefix: str):
     yield (r"^layer(\d+)_(\d+)/downsample_bn/(mean|var)$",
            lambda m: f"{prefix}layer{m.group(1)}.{m.group(2)}."
                      f"downsample.1.{_BN_STAT[m.group(3)]}", None)
+    # --- timm EfficientNet (bn1 stats ride the ResNet bn1 entry above) ---
+    yield (r"^bn2/(mean|var)$",
+           lambda m: f"{prefix}bn2.{_BN_STAT[m.group(1)]}", None)
+    yield (r"^blocks_(\d+)_(\d+)/(bn\d)/(mean|var)$",
+           lambda m: f"{prefix}blocks.{m.group(1)}.{m.group(2)}."
+                     f"{m.group(3)}.{_BN_STAT[m.group(4)]}", None)
 
 
 def _text_param_entries(prefix: str):

@@ -80,10 +80,10 @@ class CLIPModel(nn.Module):
                                            act_sharding=self.act_sharding,
                                            expert_sharding=self.expert_sharding)
         else:
-            from simseg_tpu.models.resnet import build_resnet
+            from simseg_tpu.models.cnn import build_cnn
 
-            self.image_encoder = build_resnet(self.image_tag, self.dtype,
-                                              arch=dict(self.image_arch or ()))
+            self.image_encoder = build_cnn(self.image_tag, self.dtype,
+                                           arch=dict(self.image_arch or ()))
         self.text_encoder = build_bert(self.text_tag, self.dtype, self.dropout,
                                        remat=self.remat,
                                        arch=dict(self.text_arch or ()),

@@ -37,16 +37,15 @@ class LinearProbModel(nn.Module):
             self.image_encoder = build_vit(self.image_tag, self.img_size,
                                            self.dtype,
                                            arch=dict(self.image_arch or ()))
-        elif self.image_arch:
-            raise NotImplementedError(
-                "model.image_encoder.arch overrides apply to ViT tags only "
-                f"(got CNN tag '{self.image_tag}')")
         else:
             # CNN path: global_pool='avg' semantics
-            # (parity: linear_prob.py:84-88)
-            from simseg_tpu.models.resnet import build_resnet
+            # (parity: linear_prob.py:84-88). ViT-only arch knobs (tome_r,
+            # quant, moe_experts) don't exist on the CNN builders, which
+            # refuse unknown keys via their constructors.
+            from simseg_tpu.models.cnn import build_cnn
 
-            self.image_encoder = build_resnet(self.image_tag, self.dtype)
+            self.image_encoder = build_cnn(self.image_tag, self.dtype,
+                                           arch=dict(self.image_arch or ()))
         self.classifier = nn.Dense(self.num_classes, dtype=self.dtype,
                                    name="classifier")
 

@@ -159,16 +159,18 @@ def build_resnet(tag: str, dtype: jnp.dtype = jnp.float32,
         spec.update({k: v for k, v in dict(arch).items() if v is not None})
     if "layers" not in spec:
         # the reference's timm_builder.py:7-20 instantiates ANY timm tag;
-        # this framework's CNN surface is the ResNet family (+ arbitrary
-        # ResNet shapes via arch) — other CNN families (efficientnet,
-        # convnext, ...) refuse loudly here rather than mis-building
+        # this framework's CNN surface is the ResNet / ConvNeXt /
+        # EfficientNet families (+ arbitrary shapes via arch) — other CNN
+        # families refuse loudly here rather than mis-building
         raise KeyError(
             f"Unknown CNN tag '{tag}'. Supported image towers: any standard "
             f"timm ViT tag (pattern-parsed, models/vit.py), the ResNet "
-            f"family {sorted(RESNET_CONFIGS) + sorted(_RESNET_FAMILY)}, or "
-            "an arbitrary ResNet shape declared via model.image_encoder."
-            "arch={'layers': ..., 'width': ..., 'block': ...}. Other timm "
-            "CNN families are not implemented."
+            f"family {sorted(RESNET_CONFIGS) + sorted(_RESNET_FAMILY)}, "
+            "convnext_<size> (models/convnext.py), efficientnet_b0..b7 "
+            "(models/efficientnet.py), or an arbitrary shape declared via "
+            "model.image_encoder.arch (ResNet: layers/width/block; "
+            "ConvNeXt: depths/dims; EfficientNet: stages/stem_chs/"
+            "head_chs). Other timm CNN families are not implemented."
         )
     spec["layers"] = tuple(spec["layers"])
     return ResNet(dtype=dtype, **spec)

@@ -279,3 +279,150 @@ class TorchTinyBasicResNet(nn.Module):
         x = self.layer1(x)
         x = self.layer2(x)
         return x
+
+
+class TorchLayerNorm2d(nn.Module):
+    """timm LayerNorm2d: LayerNorm over the channel dim of NCHW (weight/bias
+    keys match nn.LayerNorm)."""
+
+    def __init__(self, dim, eps=1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+        self.bias = nn.Parameter(torch.zeros(dim))
+        self.eps = eps
+
+    def forward(self, x):  # (B, C, H, W)
+        x = x.permute(0, 2, 3, 1)
+        x = F.layer_norm(x, x.shape[-1:], self.weight, self.bias, self.eps)
+        return x.permute(0, 3, 1, 2)
+
+
+class TorchConvNeXtBlock(nn.Module):
+    """timm-0.6.x ConvNeXt block key layout: conv_dw / norm / mlp.fc1 /
+    mlp.fc2 / gamma."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(1e-6 * torch.ones(dim))
+
+    def forward(self, x):
+        h = self.conv_dw(x).permute(0, 2, 3, 1)
+        h = self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm(h))))
+        return x + (self.gamma * h).permute(0, 3, 1, 2)
+
+
+class TorchTinyConvNeXt(nn.Module):
+    """timm-layout tiny ConvNeXt matching flax CONVNEXT_CONFIGS
+    'convnext_test' (depths (1, 1), dims (8, 16)); num_classes=0 +
+    global_pool='' semantics (spatial map, head norm applied)."""
+
+    def __init__(self, depths=(1, 1), dims=(8, 16)):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, dims[0], 4, stride=4), TorchLayerNorm2d(dims[0]))
+        self.stages = nn.ModuleList()
+        prev = dims[0]
+        for i, (depth, dim) in enumerate(zip(depths, dims)):
+            stage = nn.Module()
+            if i > 0:
+                stage.downsample = nn.Sequential(
+                    TorchLayerNorm2d(prev), nn.Conv2d(prev, dim, 2, stride=2))
+            else:
+                stage.downsample = nn.Identity()
+            stage.blocks = nn.Sequential(
+                *[TorchConvNeXtBlock(dim) for _ in range(depth)])
+            self.stages.append(stage)
+            prev = dim
+        self.head = nn.Module()
+        self.head.norm = TorchLayerNorm2d(dims[-1])
+
+    def forward(self, x):
+        x = self.stem(x)
+        for stage in self.stages:
+            x = stage.blocks(stage.downsample(x))
+        return self.head.norm(x)  # (B, C, h, w)
+
+
+class TorchSqueezeExcite(nn.Module):
+    def __init__(self, chs, rd_chs):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(chs, rd_chs, 1)
+        self.conv_expand = nn.Conv2d(rd_chs, chs, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(F.silu(self.conv_reduce(s)))
+        return x * torch.sigmoid(s)
+
+
+class TorchDsConv(nn.Module):
+    """timm DepthwiseSeparableConv key layout (expand-ratio-1 stage)."""
+
+    def __init__(self, in_chs, out_chs, kernel=3, stride=1, se_ratio=0.25):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(in_chs, in_chs, kernel, stride=stride,
+                                 padding=kernel // 2, groups=in_chs,
+                                 bias=False)
+        self.bn1 = nn.BatchNorm2d(in_chs)
+        self.se = TorchSqueezeExcite(in_chs, max(1, int(in_chs * se_ratio)))
+        self.conv_pw = nn.Conv2d(in_chs, out_chs, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out_chs)
+        self.has_skip = stride == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        h = self.se(F.silu(self.bn1(self.conv_dw(x))))
+        h = self.bn2(self.conv_pw(h))
+        return h + x if self.has_skip else h
+
+
+class TorchInvertedResidual(nn.Module):
+    """timm InvertedResidual (MBConv) key layout."""
+
+    def __init__(self, in_chs, out_chs, expand=6, kernel=3, stride=1,
+                 se_ratio=0.25):
+        super().__init__()
+        mid = in_chs * expand
+        self.conv_pw = nn.Conv2d(in_chs, mid, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid)
+        self.conv_dw = nn.Conv2d(mid, mid, kernel, stride=stride,
+                                 padding=kernel // 2, groups=mid, bias=False)
+        self.bn2 = nn.BatchNorm2d(mid)
+        self.se = TorchSqueezeExcite(mid, max(1, int(in_chs * se_ratio)))
+        self.conv_pwl = nn.Conv2d(mid, out_chs, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_chs)
+        self.has_skip = stride == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        h = F.silu(self.bn1(self.conv_pw(x)))
+        h = self.se(F.silu(self.bn2(self.conv_dw(h))))
+        h = self.bn3(self.conv_pwl(h))
+        return h + x if self.has_skip else h
+
+
+class TorchTinyEfficientNet(nn.Module):
+    """timm-layout tiny EfficientNet matching flax EFFICIENTNET_CONFIGS
+    'efficientnet_test' (stages ((1,8,1,1,3),(6,16,2,2,3)), stem 8,
+    head 32); forward_features semantics (conv_head+bn2+SiLU, no pool)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv_stem = nn.Conv2d(3, 8, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(8)
+        self.blocks = nn.ModuleList([
+            nn.Sequential(TorchDsConv(8, 8)),
+            nn.Sequential(TorchInvertedResidual(8, 16, stride=2),
+                          TorchInvertedResidual(16, 16)),
+        ])
+        self.conv_head = nn.Conv2d(16, 32, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(32)
+
+    def forward(self, x):
+        x = F.silu(self.bn1(self.conv_stem(x)))
+        for stage in self.blocks:
+            x = stage(x)
+        return F.silu(self.bn2(self.conv_head(x)))  # (B, C, h, w)
