@@ -40,7 +40,7 @@ def make_seg_decode_fn(
     crf_iters: int = 3,
     bilateral_stride: int = 8,
     morphology_ksize: int = 7,
-    morphology_impl: str = "window",
+    morphology_impl: str = "auto",
     crf_backend: str = "auto",
     compute_dtype: str = "auto",
 ):
@@ -116,26 +116,32 @@ def make_seg_decode_fn(
         # decision is a strict ordering of a handful of scores, done in f32)
         # impl knob: 'window' = separable lax.reduce_window max/min passes;
         # 'matmul' = banded-matmul count closing on the MXU (exact on the
-        # CRF's 0/1 masks — ops/morphology.binary_closing_matmul). Which wins
-        # is a hardware question; the decode-attribution harness A/Bs both.
-        _close_op = (binary_closing_matmul if morphology_impl == "matmul"
-                     else closing)
-
-        def _close_in(cdt):
-            return _close_op(masks.astype(cdt), morphology_ksize).astype(
+        # CRF's 0/1 masks — ops/morphology.binary_closing_matmul). 'auto'
+        # resolves per LOWERING platform (like the CRF's auto knobs, so
+        # cross-platform serving exports bake the right lane per target):
+        # matmul on TPU — measured 3.34 vs 4.75 ms standalone / −0.85 ms
+        # in-situ at batch 64, tools/benchmark_decode_attrib.py 2026-08-19
+        # — window elsewhere. bf16 vs f32 closing is bit-identical on 0/1
+        # masks, so both knobs are pure speed choices.
+        def _close_in(impl, cdt):
+            op = binary_closing_matmul if impl == "matmul" else closing
+            return op(masks.astype(cdt), morphology_ksize).astype(
                 jnp.float32)
 
-        if compute_dtype == "auto":
-            # per-LOWERING-platform like the CRF's auto knobs (a dtype pick
-            # from the tracing host would bake the wrong lane into
-            # cross-platform serving exports); bf16 vs f32 closing is
-            # bit-identical on 0/1 masks — this is purely a bandwidth choice
+        if morphology_impl == "auto" or compute_dtype == "auto":
+            def _lane(on_tpu):
+                impl = (morphology_impl if morphology_impl != "auto"
+                        else ("matmul" if on_tpu else "window"))
+                cdt = (jnp.dtype(compute_dtype) if compute_dtype != "auto"
+                       else (jnp.bfloat16 if on_tpu else jnp.float32))
+                return _close_in(impl, cdt)
+
             masks_f = jax.lax.platform_dependent(
-                tpu=lambda: _close_in(jnp.bfloat16),
-                default=lambda: _close_in(jnp.float32),
+                tpu=lambda: _lane(True),
+                default=lambda: _lane(False),
             )
         else:
-            masks_f = _close_in(jnp.dtype(compute_dtype))
+            masks_f = _close_in(morphology_impl, jnp.dtype(compute_dtype))
         weights = jnp.where(
             valid[:, :, None, None],
             masks_f * cand_scores[:, :, None, None],
