@@ -388,11 +388,22 @@ def evaluate_benchmark(loader, model, params, cfg, tokenizer,
             )
             canvas = new_canvas
     # int8 towers: cache quantized weights (and calibrate static activation
-    # scales on the first real batch) before anything compiles
+    # scales) before anything compiles. Calibration sweeps the first
+    # SIMSEG_CALIB_IMAGES (default 32) real images with a running absmax —
+    # a single batch measurably under-covers the activation range and the
+    # resulting clipping perturbs the candidate-threshold scores
+    # (tools/seg_parity.py --quant int8_static).
     img_q = dict(model.image_arch or ()).get("quant", "none") or "none"
     calib = None
     if img_q == "int8_static":
-        calib = next(iter(loader))["image"]
+        want = int(os.environ.get("SIMSEG_CALIB_IMAGES", "32") or 32)
+        chunks, have = [], 0
+        for batch in loader:
+            chunks.append(np.asarray(batch["image"]))
+            have += chunks[-1].shape[0]
+            if have >= want:
+                break
+        calib = np.concatenate(chunks, axis=0)[:want]
     params = prepare_quant_params(model, params, cfg, calib_images_u8=calib,
                                   tokenizer=tokenizer,
                                   classnames=seg_categories)

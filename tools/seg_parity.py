@@ -434,7 +434,8 @@ def build_fixture(root, n_images: int, n_classes: int, seed: int,
 
 def make_parity_cfg(root, n_images: int, size: int = 288,
                     batch_size_val: int = 2, tome_r: int = 0,
-                    quant: str = "none", stride: int = 8):
+                    quant: str = "none", stride: int = 8,
+                    quant_towers: str = "both"):
     from simseg_tpu.config import new_base_cfg, update_cfg
     from simseg_tpu.tasks.clip.config import task_cfg_init_fn
 
@@ -448,12 +449,16 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
     quantized = quant not in (None, "", "none")
     if quantized:
         arch["quant"] = str(quant)
-    # --quant quantizes BOTH towers (the text side builds the zero-shot
-    # classifier bank), measuring the full quantized serving configuration
+    # --quant_towers both: quantize BOTH towers (the text side builds the
+    # zero-shot classifier bank) — the fully-quantized configuration.
+    # --quant_towers image: image tower only — the configuration bench.py's
+    # quant lanes actually time (the classifier bank is built once per
+    # dataset outside the hot loop, so quantizing the text tower buys no
+    # throughput and only adds score error to the threshold decision).
     text_arch = {"vocab_size": 256, "hidden_dim": 384, "depth": 6,
                  "num_heads": 6, "intermediate_dim": 1536,
                  "max_position": 64, "type_vocab_size": 2}
-    if quantized:
+    if quantized and quant_towers == "both":
         text_arch["quant"] = str(quant)
     return update_cfg(task_cfg_init_fn, None, argv=([
         f"model.image_encoder.arch={arch!r}",
@@ -488,7 +493,8 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
 
 def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
                size: int = 288, root=None, tome_r: int = 0,
-               quant: str = "none", stride: int = 8) -> dict:
+               quant: str = "none", stride: int = 8,
+               quant_towers: str = "both") -> dict:
     """Run both pipelines on the same fixture; return the metric dict.
     Owns (and removes) a temp fixture dir unless ``root`` is given."""
     owns_root = root is None
@@ -496,7 +502,7 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
         root = tempfile.mkdtemp(prefix="seg_parity_")
     try:
         return _run_parity(root, n_images, n_classes, seed, size, tome_r,
-                           quant, stride)
+                           quant, stride, quant_towers)
     finally:
         if owns_root:
             import shutil
@@ -505,7 +511,7 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
 
 
 def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
-                quant="none", stride=8) -> dict:
+                quant="none", stride=8, quant_towers="both") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -525,7 +531,7 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
     classes, tmodel, ckpt = build_fixture(root, n_images, n_classes, seed,
                                           size)
     cfg = make_parity_cfg(root, n_images, size, tome_r=tome_r, quant=quant,
-                          stride=stride)
+                          stride=stride, quant_towers=quant_towers)
 
     # shared tokenizer: specials + every word the prompt bank and class
     # names can produce
@@ -558,8 +564,15 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
 
         calib = None
         if quant == "int8_static":
+            # calibrate on the FULL fixture (running absmax over every
+            # batch): a single-batch calibration clips the other scenes'
+            # activation outliers, which measurably perturbs the pooled
+            # scores feeding the mean+std candidate threshold
+            import numpy as _np
+
             calib_loader = build_seg_valid_loader(cfg, "pascal_voc")
-            calib = next(iter(calib_loader))["image"]
+            calib = _np.concatenate(
+                [_np.asarray(b["image"]) for b in calib_loader], axis=0)
         params = prepare_quant_params(model, params, cfg,
                                       calib_images_u8=calib, tokenizer=tok,
                                       classnames=classes)
@@ -682,6 +695,7 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
         size=size,
         tome_r=tome_r,
         quant=quant,
+        quant_towers=quant_towers,
         pixel_disagreement=disagree / max(valid_total, 1),
         candidate_set_flips=flips,
         miou_ours=float(miou_ours),
@@ -705,10 +719,15 @@ def main():
     ap.add_argument("--stride", type=int, default=8,
                     help="CRF bilateral stride (coarser = faster decode; "
                          "priced against the exact stride-free reference)")
+    ap.add_argument("--quant_towers", type=str, default="both",
+                    choices=["both", "image"],
+                    help="which towers --quant applies to; 'image' matches "
+                         "bench.py's quant lanes (the one-time classifier "
+                         "bank stays float)")
     args = ap.parse_args()
     out = run_parity(args.images, args.classes, args.seed, args.size,
                      tome_r=args.tome_r, quant=args.quant,
-                     stride=args.stride)
+                     stride=args.stride, quant_towers=args.quant_towers)
     print(json.dumps(out))
 
 
