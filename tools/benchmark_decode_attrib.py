@@ -111,6 +111,87 @@ def main():
                                            iters=args.iters,
                                            trials=args.trials))
 
+    # ---- mean-field micro-attribution (the 3-iteration loop dominates the
+    # decode; these lanes time its per-iteration components in isolation, in
+    # the exact dtype/shapes the TPU lane runs: bf16 fine grid, B*K=5B maps,
+    # stride-8 coarse bilateral) ----
+    from simseg_tpu.ops.crf import (
+        _bilateral_kernel_matrix,
+        _box_downsample,
+        _gaussian_taps,
+        _sep_blur,
+    )
+    from simseg_tpu.ops.morphology import nearest_upsample
+
+    taps = jnp.asarray(_gaussian_taps(3.0)).astype(jnp.bfloat16)
+    d_fine = (probs * 2.0 - 1.0).astype(jnp.bfloat16)        # (B, 5, 288, 288)
+    rgb_small = jnp.moveaxis(_box_downsample(
+        jnp.moveaxis(raw.astype(jnp.float32), -1, 1), 8), 1, -1)
+    kmat0 = jax.jit(jax.vmap(
+        lambda r: _bilateral_kernel_matrix(r, 40.0, 13.0, 8)))(rgb_small)
+    kmat_bf16 = kmat0.astype(jnp.bfloat16)
+
+    def lane(name, f, arrs):
+        add(name, timed_secs(jax.jit(f), arrs, iters=args.iters,
+                             trials=args.trials))
+
+    def gauss_x3(d, acc):
+        for _ in range(3):
+            d = _sep_blur(d, taps)
+        return acc + jnp.sum(d).astype(jnp.float32)
+
+    lane("mf_gauss_blur_x3", gauss_x3, (d_fine,))
+
+    def blur_w_x3(d, acc):
+        from simseg_tpu.ops.crf import _band_matrix
+        band_w = _band_matrix(288, taps)
+        n = d.reshape(-1, 288, 288)
+        for _ in range(3):
+            n = jnp.einsum("nhw,wv->nhv", n, band_w,
+                           preferred_element_type=jnp.float32
+                           ).astype(d.dtype)
+        return acc + jnp.sum(n).astype(jnp.float32)
+
+    lane("mf_blur_w_only_x3", blur_w_x3, (d_fine,))
+
+    def blur_h_x3(d, acc):
+        from simseg_tpu.ops.crf import _band_matrix
+        band_h = _band_matrix(288, taps)
+        n = d.reshape(-1, 288, 288)
+        for _ in range(3):
+            n = jnp.einsum("nhv,hu->nuv", n, band_h,
+                           preferred_element_type=jnp.float32
+                           ).astype(d.dtype)
+        return acc + jnp.sum(n).astype(jnp.float32)
+
+    lane("mf_blur_h_only_x3", blur_h_x3, (d_fine,))
+
+    def bilateral_x3(d, km, acc):
+        bsz = d.shape[0]
+        for _ in range(3):
+            small = _box_downsample(d, 8).reshape(bsz, 5, -1)
+            m = jnp.einsum("bcn,bmn->bcm", small, km,
+                           preferred_element_type=jnp.float32
+                           ).astype(d.dtype)
+            d = nearest_upsample(m.reshape(bsz, 5, 36, 36), 8)
+        return acc + jnp.sum(d).astype(jnp.float32)
+
+    lane("mf_bilateral_apply_x3", bilateral_x3, (d_fine, kmat_bf16))
+
+    def kmat_build(r, acc):
+        km = jax.vmap(
+            lambda x: _bilateral_kernel_matrix(x, 40.0, 13.0, 8))(r)
+        return acc + jnp.sum(km).astype(jnp.float32)
+
+    lane("mf_kmat_build", kmat_build, (rgb_small,))
+
+    def tanh_x3(d, acc):
+        for _ in range(3):
+            d = jnp.tanh((d + d) * 0.5)
+        return acc + jnp.sum(d).astype(jnp.float32)
+
+    lane("mf_tanh_combine_x3", tanh_x3, (d_fine,))
+
     print("\n== derived attribution (stride 8, ms/call) ==")
     t = {n: ms for n, ms, _ in rows}
     if "decode_stride8" in t and "decode_iters0(build+init)" in t:
