@@ -68,11 +68,18 @@ def stage_tunnel(results, timeout):
 
 
 def stage_bench(results, timeout, iters=None):
+    # bench.py's no-env default IS the composed certified lane; every lane
+    # here pins both knobs explicitly so the table stays well-defined
+    # regardless of the defaults
     lanes = [
-        ("bench_float", {}),
-        ("bench_tome16", {"SIMSEG_BENCH_TOME": "16"}),
-        ("bench_int8", {"SIMSEG_BENCH_QUANT": "int8"}),
-        ("bench_int8_static", {"SIMSEG_BENCH_QUANT": "int8_static"}),
+        ("bench_float",
+         {"SIMSEG_BENCH_TOME": "0", "SIMSEG_BENCH_QUANT": "none"}),
+        ("bench_tome16",
+         {"SIMSEG_BENCH_TOME": "16", "SIMSEG_BENCH_QUANT": "none"}),
+        ("bench_int8",
+         {"SIMSEG_BENCH_TOME": "0", "SIMSEG_BENCH_QUANT": "int8"}),
+        ("bench_int8_static",
+         {"SIMSEG_BENCH_TOME": "0", "SIMSEG_BENCH_QUANT": "int8_static"}),
         ("bench_tome16_int8_static",
          {"SIMSEG_BENCH_TOME": "16", "SIMSEG_BENCH_QUANT": "int8_static"}),
     ]
