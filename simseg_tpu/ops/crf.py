@@ -112,15 +112,23 @@ def _bilateral_kernel_matrix(
 # mean-field inference
 # --------------------------------------------------------------------------
 
-def _resolve_bilateral_impl(impl: str, n_small: int, on_tpu: bool) -> str:
+def _resolve_bilateral_impl(impl: str, h: int, w: int, stride: int,
+                            on_tpu: bool) -> str:
     if impl != "auto":
         return impl
     if not on_tpu:
         return "xla"
-    # small coarse grids: materializing the (n, n) kernel once and reusing it
-    # across the 3 iterations beats recomputing exp() in the streaming Pallas
-    # kernel (measured: 2698 vs 2431 img/s at n=1296); large grids: the
-    # materialized kernel's HBM traffic dominates, stream instead
+    from simseg_tpu.ops.crf_fused import fused_eligible
+
+    # grids the single-kernel path fits in VMEM: run the WHOLE mean-field
+    # loop fused (kernel matrix built in VMEM, d resident across iterations
+    # — ops/crf_fused.py). Mid-size grids: materialize the (n, n) kernel in
+    # HBM once and reuse it (measured 2698 vs 2431 img/s at n=1296 vs the
+    # streaming kernel); large grids: the materialized kernel's HBM traffic
+    # dominates, stream instead
+    if fused_eligible(h, w, stride):
+        return "fused"
+    n_small = (h // stride) * (w // stride)
     return "xla" if n_small <= 4096 else "pallas"
 
 
@@ -204,9 +212,18 @@ def dense_crf_batched_du(
     bb, kk, h, w = du.shape
     s = bilateral_stride
     assert h % s == 0 and w % s == 0, (h, w, s)
-    n_small_static = (h // s) * (w // s)
 
     def _run(cdt, impl):
+        if impl == "fused":
+            from simseg_tpu.ops.crf_fused import mean_field_fused
+
+            return mean_field_fused(
+                du, rgb, num_iters=num_iters, gaussian_sxy=gaussian_sxy,
+                gaussian_compat=gaussian_compat, bilateral_sxy=bilateral_sxy,
+                bilateral_srgb=bilateral_srgb,
+                bilateral_compat=bilateral_compat, stride=s,
+                closing_ksize=0, compute_dtype=cdt,
+            ).astype(jnp.int32)
         return _mean_field_binary(
             du, rgb, num_iters=num_iters, gaussian_sxy=gaussian_sxy,
             gaussian_compat=gaussian_compat, bilateral_sxy=bilateral_sxy,
@@ -226,11 +243,11 @@ def dense_crf_batched_du(
     return jax.lax.platform_dependent(
         tpu=lambda: _run(
             _resolve_compute_dtype(compute_dtype, True),
-            _resolve_bilateral_impl(bilateral_impl, n_small_static, True),
+            _resolve_bilateral_impl(bilateral_impl, h, w, s, True),
         ),
         default=lambda: _run(
             _resolve_compute_dtype(compute_dtype, False),
-            _resolve_bilateral_impl(bilateral_impl, n_small_static, False),
+            _resolve_bilateral_impl(bilateral_impl, h, w, s, False),
         ),
     )
 

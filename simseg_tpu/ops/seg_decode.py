@@ -103,12 +103,6 @@ def make_seg_decode_fn(
         p = jnp.clip(probs, 0.0, 1.0)
         du = jnp.log(p + 1e-8) - jnp.log(1.0 - p + 1e-8)
         du = nearest_upsample(du, patch_size)                  # (B, K, H, W)
-        masks = dense_crf_batched_du(
-            du, raw_images, num_iters=crf_iters,
-            bilateral_stride=bilateral_stride,
-            bilateral_impl=crf_backend,
-            compute_dtype=compute_dtype,
-        )                                                      # (B, K, H, W)
 
         # 5. morphology + score weighting + argmax (:156-177). Fine-grid
         # tensors ride the CRF's compute dtype (bf16 on TPU — masks are 0/1
@@ -123,25 +117,53 @@ def make_seg_decode_fn(
         # in-situ at batch 64, tools/benchmark_decode_attrib.py 2026-08-19
         # — window elsewhere. bf16 vs f32 closing is bit-identical on 0/1
         # masks, so both knobs are pure speed choices.
-        def _close_in(impl, cdt):
+        def _unfused(on_tpu):
+            masks = dense_crf_batched_du(
+                du, raw_images, num_iters=crf_iters,
+                bilateral_stride=bilateral_stride,
+                bilateral_impl=crf_backend,
+                compute_dtype=compute_dtype,
+            )                                                  # (B, K, H, W)
+            impl = (morphology_impl if morphology_impl != "auto"
+                    else ("matmul" if on_tpu else "window"))
+            cdt = (jnp.dtype(compute_dtype) if compute_dtype != "auto"
+                   else (jnp.bfloat16 if on_tpu else jnp.float32))
             op = binary_closing_matmul if impl == "matmul" else closing
             return op(masks.astype(cdt), morphology_ksize).astype(
                 jnp.float32)
 
-        if morphology_impl == "auto" or compute_dtype == "auto":
-            def _lane(on_tpu):
-                impl = (morphology_impl if morphology_impl != "auto"
-                        else ("matmul" if on_tpu else "window"))
+        # TPU lane: the whole mean-field loop AND the closing run in one
+        # Pallas kernel (ops/crf_fused.py — kernel matrix built in VMEM, d
+        # resident across iterations; the in-kernel closing is the same
+        # banded-matmul count closing, exact on 0/1 masks). Knob gating:
+        # only when both the CRF backend and morphology impl are left on
+        # 'auto' (pinned knobs keep the separate stages for A/B lanes).
+        from simseg_tpu.ops.crf_fused import fused_eligible, mean_field_fused
+
+        if (crf_backend == "auto" and morphology_impl == "auto"
+                and fused_eligible(image_size, image_size, bilateral_stride)):
+            def _fused_tpu():
                 cdt = (jnp.dtype(compute_dtype) if compute_dtype != "auto"
-                       else (jnp.bfloat16 if on_tpu else jnp.float32))
-                return _close_in(impl, cdt)
+                       else jnp.bfloat16)
+                return mean_field_fused(
+                    du, raw_images, num_iters=crf_iters,
+                    stride=bilateral_stride,
+                    closing_ksize=morphology_ksize,
+                    compute_dtype=cdt,
+                ).astype(jnp.float32)
 
             masks_f = jax.lax.platform_dependent(
-                tpu=lambda: _lane(True),
-                default=lambda: _lane(False),
+                tpu=_fused_tpu,
+                default=lambda: _unfused(False),
+            )
+        elif morphology_impl == "auto" or compute_dtype == "auto":
+            masks_f = jax.lax.platform_dependent(
+                tpu=lambda: _unfused(True),
+                default=lambda: _unfused(False),
             )
         else:
-            masks_f = _close_in(morphology_impl, jnp.dtype(compute_dtype))
+            # both knobs pinned: on_tpu only affects 'auto' resolution
+            masks_f = _unfused(False)
         weights = jnp.where(
             valid[:, :, None, None],
             masks_f * cand_scores[:, :, None, None],

@@ -1,0 +1,109 @@
+"""Fused single-kernel mean-field CRF (ops/crf_fused.py) vs ground truth.
+
+The fused kernel is the TPU decode's default CRF+closing lane (auto-resolved
+in ops/crf.py::_resolve_bilateral_impl / ops/seg_decode.py); these tests run
+it in Pallas interpret mode on CPU against (a) the exact brute-force numpy
+mean-field at stride 1 and (b) the XLA lane it replaces.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simseg_tpu.ops.crf import dense_crf_batched_du
+from simseg_tpu.ops.crf_fused import fused_eligible, mean_field_fused
+from simseg_tpu.ops.morphology import binary_closing_matmul
+
+from tests.test_crf_morphology import np_dense_crf
+
+
+def _du(p):
+    p = np.clip(p, 0.0, 1.0)
+    return (np.log(p + 1e-8) - np.log(1.0 - p + 1e-8)).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_matches_exact_numpy_at_stride1(seed):
+    rng = np.random.default_rng(seed)
+    h = w = 16
+    rgb = np.zeros((h, w, 3))
+    rgb[:, : w // 2] = [200, 30, 40]
+    rgb[:, w // 2:] = [20, 180, 220]
+    rgb += rng.normal(0, 5, rgb.shape)
+    probs = np.clip(
+        0.5 + 0.35 * np.where(np.arange(w) < w // 2, 1.0, -1.0)[None, :]
+        + rng.normal(0, 0.15, (h, w)),
+        0.01, 0.99,
+    )
+    want = np_dense_crf(probs, rgb)
+    got = np.asarray(mean_field_fused(
+        jnp.asarray(_du(probs)[None, None]),
+        jnp.asarray(rgb[None].astype(np.float32)),
+        stride=1, compute_dtype=jnp.float32, interpret=True,
+    ))[0, 0]
+    assert (got.astype(np.int64) == want).mean() == 1.0
+
+
+def test_fused_matches_xla_lane_at_coarse_stride():
+    """Same masks as the materialized-kernel XLA lane (up to f32 rounding
+    from the folded gaussian normalization at threshold-marginal pixels)."""
+    rng = np.random.default_rng(3)
+    b, k, h, w = 2, 3, 32, 32
+    p = rng.uniform(0.02, 0.98, (b, k, h, w))
+    du = jnp.asarray(_du(p))
+    rgb = jnp.asarray(rng.integers(0, 255, (b, h, w, 3)).astype(np.float32))
+
+    want = np.asarray(dense_crf_batched_du(
+        du, rgb, bilateral_stride=4, bilateral_impl="xla",
+        compute_dtype="float32"))
+    got = np.asarray(mean_field_fused(
+        du, rgb, stride=4, compute_dtype=jnp.float32, interpret=True))
+    assert (want == got.astype(np.int32)).mean() >= 0.995
+
+
+def test_fused_closing_matches_separate_closing():
+    """closing_ksize>1 must equal running the banded-matmul closing on the
+    kernel's own unclosed masks (the decode's fusion contract)."""
+    rng = np.random.default_rng(5)
+    b, k, h, w = 2, 2, 32, 32
+    p = rng.uniform(0.02, 0.98, (b, k, h, w))
+    du = jnp.asarray(_du(p))
+    rgb = jnp.asarray(rng.integers(0, 255, (b, h, w, 3)).astype(np.float32))
+
+    raw = mean_field_fused(du, rgb, stride=4, compute_dtype=jnp.float32,
+                           interpret=True)
+    want = np.asarray(jax.jit(binary_closing_matmul, static_argnums=1)(
+        raw.astype(jnp.float32), 7))
+    got = np.asarray(mean_field_fused(
+        du, rgb, stride=4, closing_ksize=7, compute_dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_array_equal(want, got)
+
+
+def test_fused_zero_iters_is_unary_threshold():
+    rng = np.random.default_rng(7)
+    p = rng.uniform(0.02, 0.98, (1, 2, 16, 16))
+    du = jnp.asarray(_du(p))
+    rgb = jnp.asarray(rng.integers(0, 255, (1, 16, 16, 3)).astype(np.float32))
+    got = np.asarray(mean_field_fused(
+        du, rgb, num_iters=0, stride=4, compute_dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_array_equal(got, (np.asarray(du) > 0).astype(np.float32))
+
+
+def test_fused_eligibility_gate():
+    assert fused_eligible(288, 288, 8)        # the production decode shape
+    assert fused_eligible(288, 288, 16)
+    assert not fused_eligible(288, 288, 4)    # N=5184: kmat exceeds VMEM
+    assert not fused_eligible(287, 288, 8)    # not stride-divisible
+
+
+def test_auto_resolution_prefers_fused_on_tpu():
+    from simseg_tpu.ops.crf import _resolve_bilateral_impl
+
+    assert _resolve_bilateral_impl("auto", 288, 288, 8, True) == "fused"
+    assert _resolve_bilateral_impl("auto", 288, 288, 6, True) == "xla"
+    assert _resolve_bilateral_impl("auto", 288, 288, 4, True) == "pallas"
+    assert _resolve_bilateral_impl("auto", 288, 288, 8, False) == "xla"
+    assert _resolve_bilateral_impl("pallas", 288, 288, 8, True) == "pallas"
