@@ -79,12 +79,22 @@ def main() -> None:
     # The exact float pipeline stays one env var away:
     #   SIMSEG_BENCH_TOME=0 SIMSEG_BENCH_QUANT=none python bench.py
     tome_r = int(os.environ.get("SIMSEG_BENCH_TOME", "16") or 0)
+    # per-block merge schedule (models/vit.py tome_schedule): fewer, larger
+    # merges cut the composed lane's distinct (T, int8) shape classes from
+    # 12 to ~4, bounding cold compile; e.g.
+    # SIMSEG_BENCH_TOME_SCHED=48,0,0,48,0,0,48,0,0,48,0,0
+    tome_sched = tuple(
+        int(x) for x in
+        (os.environ.get("SIMSEG_BENCH_TOME_SCHED", "") or "").split(",")
+        if x.strip())
     # int8 PTQ lanes (ops/quant.py): int8x8->32 on the MXU; 'int8_static'
     # folds calibrated activation scales into the weights (no per-token
     # max), 'int8' is the dynamic mode (quality cost in BASELINE.md)
     quant = os.environ.get("SIMSEG_BENCH_QUANT", "int8_static") or ""
     arch = ()
-    if tome_r > 0:
+    if tome_sched:
+        arch += (("tome_schedule", tome_sched),)
+    elif tome_r > 0:
         arch += (("tome_r", tome_r),)
     if quant and quant != "none":
         arch += (("quant", quant),)
@@ -186,7 +196,9 @@ def main() -> None:
         if have_decode
         else "seg_backbone_images_per_sec_vitb288"
     )
-    if tome_r > 0:
+    if tome_sched:
+        metric += "_tomesched" + "-".join(str(r) for r in tome_sched if r)
+    elif tome_r > 0:
         metric += f"_tome{tome_r}"
     if quant and quant != "none":
         metric += f"_{quant}"

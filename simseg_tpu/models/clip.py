@@ -254,8 +254,11 @@ def build_clip_model(cfg, dtype: Optional[jnp.dtype] = None,
 
     def arch_tuple(enc_cfg):
         arch = enc_cfg.get("arch", {}) or {}
-        items = tuple(sorted((k, v) for k, v in dict(arch).items()
-                             if v is not None))
+        # YAML/CLI list values (e.g. tome_schedule) -> tuples so the flax
+        # module stays hashable
+        items = tuple(sorted(
+            (k, tuple(v) if isinstance(v, list) else v)
+            for k, v in dict(arch).items() if v is not None))
         return items or None
 
     return CLIPModel(

@@ -18,7 +18,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -110,10 +110,17 @@ class ViTBlock(nn.Module):
     # same positional signature, so the remat wrapper's static_argnums is
     # unchanged.
     tome_r: int = 0
-    # first block of the tome chain: sizes are statically all-ones there,
-    # so the proportional-attention bias is identically zero — pass None
-    # instead, keeping block 0 eligible for the bias-free flash kernels
-    # (every gate in ops/flash_attention.py requires attention_bias=None)
+    # member of a tome chain even when this block itself merges nothing
+    # (tome_r == 0): threads the carry tuple and applies the proportional-
+    # attention bias. Schedules with fewer, larger merges set this so the
+    # non-merging blocks still see the merged sizes (models/vit.py
+    # VisionTransformer.tome_schedule).
+    tome_chain: bool = False
+    # no merge has happened before this block: sizes are statically
+    # all-ones, so the proportional-attention bias is identically zero —
+    # pass None instead, keeping the block eligible for the bias-free flash
+    # kernels (every gate in ops/flash_attention.py requires
+    # attention_bias=None)
     tome_first: bool = False
     # int8 PTQ inference (ops/quant.py, beyond reference): qkv/proj/fc1/fc2
     # run int8 x int8 -> int32 on the MXU. Inference only — the runner
@@ -126,10 +133,11 @@ class ViTBlock(nn.Module):
                                          update_gather_map)
 
         sizes = gather_map = attn_bias = None
-        if self.tome_r > 0:
+        in_chain = self.tome_chain or self.tome_r > 0
+        if in_chain:
             if not (isinstance(x, tuple) and len(x) == 3):
                 raise TypeError(
-                    "ViTBlock(tome_r>0) takes the (x, sizes, gather_map) "
+                    "ViTBlock(tome) takes the (x, sizes, gather_map) "
                     f"carry tuple, got {type(x).__name__}"
                 )
             x, sizes, gather_map = x
@@ -146,6 +154,8 @@ class ViTBlock(nn.Module):
             x = x + attn_out
             x, sizes, old2new = bipartite_merge(x, sizes, keys, self.tome_r)
             gather_map = update_gather_map(gather_map, old2new)
+        elif in_chain:
+            x = x + attn(y, deterministic, attention_bias=attn_bias)
         else:
             x = x + attn(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
@@ -160,7 +170,7 @@ class ViTBlock(nn.Module):
                              self.dtype, quant=self.quant,
                              name="mlp")(y, deterministic)
         x = x + mlp_out
-        if self.tome_r > 0:
+        if in_chain:
             return x, sizes, gather_map
         return x
 
@@ -205,6 +215,16 @@ class VisionTransformer(nn.Module):
     # model.image_encoder.arch="{'tome_r': 16}". Not supported under
     # pipeline parallelism (stage stacks need homogeneous token counts).
     tome_r: int = 0
+    # per-block merge schedule overriding the uniform tome_r (tuple of
+    # ``depth`` ints; 0 = no merge at that block). Fewer, larger merges
+    # (e.g. (48,0,0)*4: 325 -> 277 -> 229 -> 181 -> 133) keep the same
+    # final token count but cut the number of DISTINCT block shapes from
+    # ``depth`` to ~4 — the cold-compile cost of the composed
+    # ToMe+int8 lane scales with distinct (T, quant) shape classes, not
+    # block instances (round-4 smoke: 12 uniform-T int8 blocks compiled
+    # in <900 s, 12 distinct-T int8 blocks took ~30 min). Enable via
+    # model.image_encoder.arch="{'tome_schedule': (48,0,0,48,0,0,...)}".
+    tome_schedule: Optional[Tuple[int, ...]] = None
     # int8 PTQ inference (beyond reference, ops/quant.py): every block's
     # qkv/proj/fc1/fc2 matmul runs int8 x int8 -> int32 on the MXU (2x the
     # bf16 peak on v5e) with per-channel weight + dynamic per-token
@@ -219,6 +239,25 @@ class VisionTransformer(nn.Module):
     # all-gather (into qkv) / reduce-scatter (after proj) at the block
     # boundaries — Megatron-SP, derived by the compiler from one annotation.
     act_sharding: Optional[Any] = None
+
+    @property
+    def tome_on(self) -> bool:
+        return self.tome_r > 0 or bool(self.tome_schedule)
+
+    @property
+    def tome_plan(self) -> Tuple[int, ...]:
+        """Per-block merge counts: the explicit schedule, else uniform
+        tome_r. Validated against depth."""
+        if self.tome_schedule:
+            sched = tuple(int(r) for r in self.tome_schedule)
+            if len(sched) != self.depth:
+                raise ValueError(
+                    f"tome_schedule has {len(sched)} entries for a "
+                    f"depth-{self.depth} tower")
+            if any(r < 0 for r in sched):
+                raise ValueError(f"tome_schedule entries must be >= 0: {sched}")
+            return sched
+        return (self.tome_r,) * self.depth if self.tome_r > 0 else (0,) * self.depth
 
     @property
     def grid_size(self) -> int:
@@ -260,13 +299,15 @@ class VisionTransformer(nn.Module):
             return (self.moe_experts > 0
                     and i % self.moe_every == self.moe_every - 1)
 
+        sched = self.tome_plan
         self.blocks = [
             block_cls(self.num_heads, self.mlp_ratio, self.dropout, self.dtype,
                       moe_experts=self.moe_experts if is_moe(i) else 0,
                       moe_capacity=self.moe_capacity,
                       expert_sharding=self.expert_sharding,
-                      tome_r=self.tome_r,
-                      tome_first=(self.tome_r > 0 and i == 0),
+                      tome_r=sched[i],
+                      tome_chain=self.tome_on,
+                      tome_first=(self.tome_on and sum(sched[:i]) == 0),
                       quant=self.quant,
                       name=f"blocks_{i}")
             for i in range(self.depth)
@@ -310,7 +351,7 @@ class VisionTransformer(nn.Module):
     def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """images: (B, H, W, 3) NHWC float. Returns (B, 1+N, D)."""
         x = self._constrain(self.embed(images, deterministic))
-        if self.tome_r > 0:
+        if self.tome_on:
             from simseg_tpu.ops.tome import unmerge
 
             b, t = x.shape[:2]

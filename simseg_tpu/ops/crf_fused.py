@@ -191,7 +191,9 @@ def _mean_field_kernel(
 
         d = jnp.tanh(du_k * half)
         d = jax.lax.fori_loop(0, num_iters, body, d)
-        mask = (d > 0).astype(cdt)
+        # compare in f32: the v5e VPU has no bf16 vector compare (Mosaic
+        # "Target does not support this comparison"); exact either way
+        mask = (d.astype(jnp.float32) > 0).astype(cdt)
 
         if closing_ksize > 1:
             c = jnp.dot(mask, b7w_ref[:], preferred_element_type=jnp.float32)

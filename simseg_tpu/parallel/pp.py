@@ -165,7 +165,9 @@ def _refuse_heterogeneous_tower(model) -> None:
             "pipeline parallelism does not combine with MoE blocks (the "
             "stage stack needs homogeneous block params, and the pp forward "
             "would drop the MoE aux loss)")
-    if int(dict(model.image_arch or ()).get("tome_r", 0) or 0) > 0:
+    arch = dict(model.image_arch or ())
+    if (int(arch.get("tome_r", 0) or 0) > 0
+            or any(int(r) > 0 for r in arch.get("tome_schedule") or ())):
         raise NotImplementedError(
             "pipeline parallelism does not combine with token merging "
             "(tome_r shrinks the token count per block; the pipelined "

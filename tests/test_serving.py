@@ -350,3 +350,57 @@ def test_multichip_serve_rejects_indivisible_batch(tmp_path):
 
     with pytest.raises(ValueError, match="batch-sharded"):
         serving.load_artifact(path, mesh=make_mesh())
+
+
+def test_seg_artifact_int8_static_composed_headline(tmp_path):
+    """The CERTIFIED headline configuration — ToMe + int8_static with the
+    calibrated ``'quant'`` collection (cached int8 weights, folded static
+    activation scales) — must bake into an artifact bit-identical to the
+    live pipeline, and the export must refuse uncalibrated variables
+    loudly (round-4 verdict #3: the one configuration bench.py sells was
+    never proven exportable)."""
+    import pytest
+
+    from simseg_tpu.ops.quant import cache_quant_state
+
+    model = tiny_clip(image_arch=(("tome_r", 2), ("quant", "int8_static")))
+    batch = {
+        "image": jnp.zeros((1, 32, 32, 3), jnp.float32),
+        "input_ids": jnp.zeros((1, 12), jnp.int32),
+        "attention_mask": jnp.ones((1, 12), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch)
+    rng = np.random.default_rng(3)
+    bank = rng.normal(size=(5, 16)).astype(np.float32)
+    raw = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    cfg = _seg_cfg()
+
+    # uncalibrated int8_static must refuse to stage (no silent fallback)
+    fn_uncal = serving.make_seg_infer_fn(model, params, jnp.asarray(bank),
+                                         cfg, num_classes=5, top_cls_num=3,
+                                         patch_size=8)
+    with pytest.raises(RuntimeError, match="cache_quant_state"):
+        serving.export_artifact(fn_uncal, (raw,))
+
+    # calibrate on two representative batches (running absmax), then export
+    calib = [
+        ((jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),),
+         {"method": lambda m, im: m.forward_image_tokens(im)})
+        for _ in range(2)
+    ]
+    variables = cache_quant_state(model, params, calib)
+    assert "quant" in variables  # calibrated scales + cached int8 weights
+
+    fn = serving.make_seg_infer_fn(model, variables, jnp.asarray(bank), cfg,
+                                   num_classes=5, top_cls_num=3,
+                                   patch_size=8)
+    direct_pred, direct_conf = jax.jit(fn)(raw)
+
+    data = serving.export_artifact(fn, (raw,))
+    path = tmp_path / "seg_tome_int8s.shlo"
+    serving.save_artifact(str(path), data)
+    pred, conf = serving.load_artifact(str(path))(raw)
+
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(direct_pred))
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(direct_conf),
+                               rtol=1e-6)

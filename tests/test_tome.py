@@ -245,3 +245,75 @@ def test_tome_train_step_composes_with_sharded_towers(mode):
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=1e-6)
+
+
+def test_vit_tome_schedule_matches_uniform_r():
+    """A schedule equal to the uniform plan is the SAME computation
+    (bit-identical outputs) — the schedule only regroups merges."""
+    imgs = jnp.asarray(np.random.default_rng(5).normal(size=(2, 32, 32, 3)),
+                       jnp.float32)
+    uniform = _tiny_vit(tome_r=2)
+    params = uniform.init(jax.random.key(0), imgs)
+    scheduled = _tiny_vit(tome_r=0, tome_schedule=(2, 2))
+    np.testing.assert_array_equal(np.asarray(uniform.apply(params, imgs)),
+                                  np.asarray(scheduled.apply(params, imgs)))
+
+
+def test_vit_tome_schedule_fewer_larger_merges():
+    """Front-loaded schedule: same total merged count, fewer distinct
+    shapes; output contract and gradients intact."""
+    imgs = jnp.asarray(np.random.default_rng(6).normal(size=(2, 32, 32, 3)),
+                       jnp.float32)
+    model = _tiny_vit(tome_r=0, tome_schedule=(4, 0))
+    params = model.init(jax.random.key(0), imgs)
+    out = model.apply(params, imgs)
+    assert out.shape == (2, 17, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # 4 merges happened: at most 13 unique rows per image
+    for i in range(2):
+        assert len(np.unique(np.asarray(out)[i], axis=0)) <= 13
+
+    def loss(p):
+        return jnp.mean(model.apply(p, imgs) ** 2)
+
+    flat, _ = jax.flatten_util.ravel_pytree(jax.jit(jax.grad(loss))(params))
+    assert np.isfinite(np.asarray(flat)).all()
+
+
+def test_vit_tome_schedule_validation():
+    imgs = jnp.zeros((1, 32, 32, 3))
+    with pytest.raises(ValueError, match="depth-2"):
+        _tiny_vit(tome_schedule=(2, 2, 2)).init(jax.random.key(0), imgs)
+    with pytest.raises(ValueError, match=">= 0"):
+        _tiny_vit(tome_schedule=(2, -1)).init(jax.random.key(0), imgs)
+
+
+def test_clip_model_tome_schedule_via_arch():
+    model = CLIPModel(
+        image_tag="vit_test", img_size=32, text_tag="bert_test",
+        projection_name="simple", projection_dim=16, pool_name="loda",
+        image_k=3, text_k=1, temperature_name="parameter",
+        temperature_init=0.02, image_arch=(("tome_schedule", (4, 0)),),
+    )
+    rng = np.random.default_rng(7)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(0, 100, (2, 8)), jnp.int32),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch)
+    img, txt, temp = model.apply(params, batch, deterministic=True)
+    assert img.shape == (2, 16) and np.isfinite(np.asarray(img)).all()
+
+
+def test_pp_refuses_tome_schedule():
+    from simseg_tpu.parallel.pp import _refuse_heterogeneous_tower
+
+    model = CLIPModel(
+        image_tag="vit_test", img_size=32, text_tag="bert_test",
+        projection_name="simple", projection_dim=16, pool_name="loda",
+        image_k=3, text_k=1, temperature_name="parameter",
+        temperature_init=0.02, image_arch=(("tome_schedule", (4, 0)),),
+    )
+    with pytest.raises(NotImplementedError, match="token merging"):
+        _refuse_heterogeneous_tower(model)

@@ -435,7 +435,7 @@ def build_fixture(root, n_images: int, n_classes: int, seed: int,
 def make_parity_cfg(root, n_images: int, size: int = 288,
                     batch_size_val: int = 2, tome_r: int = 0,
                     quant: str = "none", stride: int = 8,
-                    quant_towers: str = "both"):
+                    quant_towers: str = "both", tome_schedule=None):
     from simseg_tpu.config import new_base_cfg, update_cfg
     from simseg_tpu.tasks.clip.config import task_cfg_init_fn
 
@@ -446,6 +446,11 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
     arch = {}
     if tome_r:
         arch["tome_r"] = int(tome_r)
+    if tome_schedule:
+        # fewer, larger merges (models/vit.py tome_schedule): same final
+        # token count as the uniform r, ~4 distinct block shapes instead of
+        # 12 — priced here against the exact reference like every lane
+        arch["tome_schedule"] = tuple(int(r) for r in tome_schedule)
     quantized = quant not in (None, "", "none")
     if quantized:
         arch["quant"] = str(quant)
@@ -494,7 +499,7 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
 def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
                size: int = 288, root=None, tome_r: int = 0,
                quant: str = "none", stride: int = 8,
-               quant_towers: str = "both") -> dict:
+               quant_towers: str = "both", tome_schedule=None) -> dict:
     """Run both pipelines on the same fixture; return the metric dict.
     Owns (and removes) a temp fixture dir unless ``root`` is given."""
     owns_root = root is None
@@ -502,7 +507,7 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
         root = tempfile.mkdtemp(prefix="seg_parity_")
     try:
         return _run_parity(root, n_images, n_classes, seed, size, tome_r,
-                           quant, stride, quant_towers)
+                           quant, stride, quant_towers, tome_schedule)
     finally:
         if owns_root:
             import shutil
@@ -511,7 +516,8 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
 
 
 def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
-                quant="none", stride=8, quant_towers="both") -> dict:
+                quant="none", stride=8, quant_towers="both",
+                tome_schedule=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -531,7 +537,8 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
     classes, tmodel, ckpt = build_fixture(root, n_images, n_classes, seed,
                                           size)
     cfg = make_parity_cfg(root, n_images, size, tome_r=tome_r, quant=quant,
-                          stride=stride, quant_towers=quant_towers)
+                          stride=stride, quant_towers=quant_towers,
+                          tome_schedule=tome_schedule)
 
     # shared tokenizer: specials + every word the prompt bank and class
     # names can produce
@@ -694,6 +701,7 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
         seed=seed,
         size=size,
         tome_r=tome_r,
+        tome_schedule=list(tome_schedule) if tome_schedule else None,
         quant=quant,
         quant_towers=quant_towers,
         pixel_disagreement=disagree / max(valid_total, 1),
@@ -714,6 +722,10 @@ def main():
     ap.add_argument("--size", type=int, default=288)
     ap.add_argument("--tome_r", type=int, default=0,
                     help="token merging r (quality-cost measurement)")
+    ap.add_argument("--tome_schedule", type=str, default="",
+                    help="comma-separated per-block merge counts "
+                         "(e.g. 48,0,0,48,0,0,48,0,0,48,0,0) — overrides "
+                         "--tome_r with fewer, larger merges")
     ap.add_argument("--quant", type=str, default="none",
                     help="int8 PTQ inference lane (quality-cost measurement)")
     ap.add_argument("--stride", type=int, default=8,
@@ -724,10 +736,50 @@ def main():
                     help="which towers --quant applies to; 'image' matches "
                          "bench.py's quant lanes (the one-time classifier "
                          "bank stays float)")
+    ap.add_argument("--seeds", type=str, default="",
+                    help="comma list of fixture seeds; runs every seed and "
+                         "prints one aggregated JSON with per-gate margins "
+                         "(round-4 verdict #6: a single 8-scene/1-seed "
+                         "fixture is too narrow a base for the certifying "
+                         "gates)")
     args = ap.parse_args()
+    sched = (tuple(int(x) for x in args.tome_schedule.split(","))
+             if args.tome_schedule else None)
+    if args.seeds:
+        runs = []
+        for seed in (int(s) for s in args.seeds.split(",")):
+            r = run_parity(args.images, args.classes, seed, args.size,
+                           tome_r=args.tome_r, quant=args.quant,
+                           stride=args.stride,
+                           quant_towers=args.quant_towers,
+                           tome_schedule=sched)
+            r.pop("per_image", None)
+            runs.append(r)
+            print(json.dumps(r), flush=True)
+        pix = [r["pixel_disagreement"] for r in runs]
+        miou_d = [abs(r["miou_delta"]) for r in runs]
+        cls_d = [r["max_class_iou_delta"] for r in runs]
+        flips = sum(r["candidate_set_flips"] for r in runs)
+        n_scenes = args.images * len(runs)
+        # gate margins: distance from the slow-test gates (<4% pixel,
+        # <0.5 mIoU pt, <2 class-IoU pt) at the WORST seed
+        agg = dict(
+            aggregate=True, n_scenes=n_scenes, seeds=args.seeds,
+            pixel_mean=float(np.mean(pix)), pixel_worst=float(np.max(pix)),
+            miou_delta_mean=float(np.mean(miou_d)),
+            miou_delta_worst=float(np.max(miou_d)),
+            max_class_iou_delta_worst=float(np.max(cls_d)),
+            candidate_set_flips=flips,
+            margin_pixel_pct=float(4.0 - 100.0 * np.max(pix)),
+            margin_miou_pt=float(0.5 - 100.0 * np.max(miou_d)),
+            margin_class_pt=float(2.0 - 100.0 * np.max(cls_d)),
+        )
+        print(json.dumps(agg))
+        return
     out = run_parity(args.images, args.classes, args.seed, args.size,
                      tome_r=args.tome_r, quant=args.quant,
-                     stride=args.stride, quant_towers=args.quant_towers)
+                     stride=args.stride, quant_towers=args.quant_towers,
+                     tome_schedule=sched)
     print(json.dumps(out))
 
 

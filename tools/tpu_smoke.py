@@ -10,8 +10,15 @@ Each stage runs in its OWN subprocess with a hard timeout: a stalled axon
 tunnel (the documented quirk) fails that stage with TIMEOUT instead of
 hanging the session.
 
+Cold-start discipline (round-4 verdict #2): every subprocess shares ONE
+persistent XLA compilation cache, and the ``warm`` stage pre-pays each
+bench lane's cold compile under its own generous ``--warm_timeout``
+(reporting the cold-compile seconds per lane) so the timed lanes always
+run warm — an all-PASS table from a cleared cache (``--clear_cache``).
+
 Usage:
-    python tools/tpu_smoke.py                 # bench + kernels (~10 min)
+    python tools/tpu_smoke.py                 # warm + bench + kernels
+    python tools/tpu_smoke.py --clear_cache   # provable cold start
     python tools/tpu_smoke.py --stages bench
     python tools/tpu_smoke.py --parity        # adds the seg-parity lanes (slow)
     python tools/tpu_smoke.py --out smoke.json
@@ -33,6 +40,12 @@ def run_sub(code: str, timeout: int, env_extra=None):
     """Run a python snippet in a fresh subprocess; return (ok, output)."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # ONE persistent XLA compilation cache across every stage/subprocess:
+    # the pre-warm pass pays each lane's cold compile exactly once and the
+    # timed lanes start warm (round-4 verdict #2 — the composed lane's cold
+    # compile exceeded the per-stage timeout)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
     env.update(env_extra or {})
     try:
         p = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -67,23 +80,48 @@ def stage_tunnel(results, timeout):
     return ok
 
 
-def stage_bench(results, timeout, iters=None):
+BENCH_LANES = [
     # bench.py's no-env default IS the composed certified lane; every lane
     # here pins both knobs explicitly so the table stays well-defined
     # regardless of the defaults
-    lanes = [
-        ("bench_float",
-         {"SIMSEG_BENCH_TOME": "0", "SIMSEG_BENCH_QUANT": "none"}),
-        ("bench_tome16",
-         {"SIMSEG_BENCH_TOME": "16", "SIMSEG_BENCH_QUANT": "none"}),
-        ("bench_int8",
-         {"SIMSEG_BENCH_TOME": "0", "SIMSEG_BENCH_QUANT": "int8"}),
-        ("bench_int8_static",
-         {"SIMSEG_BENCH_TOME": "0", "SIMSEG_BENCH_QUANT": "int8_static"}),
-        ("bench_tome16_int8_static",
-         {"SIMSEG_BENCH_TOME": "16", "SIMSEG_BENCH_QUANT": "int8_static"}),
-    ]
-    for name, env in lanes:
+    ("bench_float",
+     {"SIMSEG_BENCH_TOME": "0", "SIMSEG_BENCH_QUANT": "none"}),
+    ("bench_tome16",
+     {"SIMSEG_BENCH_TOME": "16", "SIMSEG_BENCH_QUANT": "none"}),
+    ("bench_int8",
+     {"SIMSEG_BENCH_TOME": "0", "SIMSEG_BENCH_QUANT": "int8"}),
+    ("bench_int8_static",
+     {"SIMSEG_BENCH_TOME": "0", "SIMSEG_BENCH_QUANT": "int8_static"}),
+    ("bench_tome16_int8_static",
+     {"SIMSEG_BENCH_TOME": "16", "SIMSEG_BENCH_QUANT": "int8_static"}),
+    # fewer-larger-merges schedule (models/vit.py tome_schedule): same 133
+    # final tokens as tome16, ~4 distinct (T, int8) shape classes instead
+    # of 12 — the cold-compile-bounded composed lane
+    ("bench_tomesched_int8_static",
+     {"SIMSEG_BENCH_TOME": "0",
+      "SIMSEG_BENCH_TOME_SCHED": "48,0,0,48,0,0,48,0,0,48,0,0",
+      "SIMSEG_BENCH_QUANT": "int8_static"}),
+]
+
+
+def stage_warm(results, warm_timeout):
+    """Pay every bench lane's cold compile ONCE into the shared persistent
+    cache (its own generous timeout, reported separately) so the timed bench
+    stage starts warm even on a cleared cache / fresh host. The 1-iter run
+    is compile-dominated; its wall time is the lane's cold-compile bound."""
+    for name, env in BENCH_LANES:
+        wenv = {**env, "SIMSEG_BENCH_ITERS": "1", "SIMSEG_BENCH_TRIALS": "1"}
+        t0 = time.time()
+        ok, out = run_sub("import runpy; runpy.run_path('bench.py', "
+                          "run_name='__main__')", warm_timeout, wenv)
+        dt = time.time() - t0
+        detail = (f"cold compile+1 iter {dt:.0f}s"
+                  if ok else f"{out[-100:]} after {dt:.0f}s")
+        results.append((name.replace("bench_", "warm_"), ok, detail))
+
+
+def stage_bench(results, timeout, iters=None):
+    for name, env in BENCH_LANES:
         if iters:
             env = {**env, "SIMSEG_BENCH_ITERS": str(iters),
                    "SIMSEG_BENCH_TRIALS": "3"}
@@ -167,16 +205,31 @@ def stage_parity(results, timeout, lanes):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stages", default="tunnel,bench,attention,crf",
-                    help="comma list: tunnel,bench,attention,crf,parity")
+    ap.add_argument("--stages", default="tunnel,warm,bench,attention,crf",
+                    help="comma list: tunnel,warm,bench,attention,crf,parity")
     ap.add_argument("--parity", action="store_true",
                     help="append the parity stage (slow: exact torch CRF)")
     ap.add_argument("--bench_iters", type=int, default=0,
                     help="override bench iters (smoke-size runs)")
     ap.add_argument("--timeout", type=int, default=900,
                     help="per-stage subprocess timeout (s)")
+    ap.add_argument("--warm_timeout", type=int, default=3600,
+                    help="per-lane timeout for the cold-compile pre-warm "
+                         "stage (compile-dominated; the composed ToMe+int8 "
+                         "lane's cold compile was ~30 min on the tunnel)")
+    ap.add_argument("--clear_cache", action="store_true",
+                    help="wipe the persistent XLA cache first so the warm "
+                         "stage measures a true cold compile")
     ap.add_argument("--out", default="", help="write results JSON here")
     args = ap.parse_args()
+
+    if args.clear_cache:
+        import shutil
+
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(REPO, ".jax_cache"))
+        shutil.rmtree(cache, ignore_errors=True)
+        print(f"[tpu_smoke] cleared {cache}")
 
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     if args.parity and "parity" not in stages:
@@ -190,6 +243,8 @@ def main():
             if not stage_tunnel(results, args.timeout):
                 print("[tpu_smoke] tunnel dead — skipping remaining stages")
                 break
+        elif s == "warm":
+            stage_warm(results, args.warm_timeout)
         elif s == "bench":
             stage_bench(results, args.timeout, args.bench_iters)
         elif s == "attention":
