@@ -101,8 +101,7 @@ def make_seg_decode_fn(
         # to upsampling the probabilities first, without ever materializing
         # a fine-grid f32 probability tensor.
         p = jnp.clip(probs, 0.0, 1.0)
-        du = jnp.log(p + 1e-8) - jnp.log(1.0 - p + 1e-8)
-        du = nearest_upsample(du, patch_size)                  # (B, K, H, W)
+        du_coarse = jnp.log(p + 1e-8) - jnp.log(1.0 - p + 1e-8)
 
         # 5. morphology + score weighting + argmax (:156-177). Fine-grid
         # tensors ride the CRF's compute dtype (bf16 on TPU — masks are 0/1
@@ -113,11 +112,10 @@ def make_seg_decode_fn(
         # CRF's 0/1 masks — ops/morphology.binary_closing_matmul). 'auto'
         # resolves per LOWERING platform (like the CRF's auto knobs, so
         # cross-platform serving exports bake the right lane per target):
-        # matmul on TPU — measured 3.34 vs 4.75 ms standalone / −0.85 ms
-        # in-situ at batch 64, tools/benchmark_decode_attrib.py 2026-08-19
-        # — window elsewhere. bf16 vs f32 closing is bit-identical on 0/1
-        # masks, so both knobs are pure speed choices.
+        # matmul on TPU, window elsewhere. bf16 vs f32 closing is
+        # bit-identical on 0/1 masks, so both knobs are pure speed choices.
         def _unfused(on_tpu):
+            du = nearest_upsample(du_coarse, patch_size)       # (B, K, H, W)
             masks = dense_crf_batched_du(
                 du, raw_images, num_iters=crf_iters,
                 bilateral_stride=bilateral_stride,
@@ -129,55 +127,65 @@ def make_seg_decode_fn(
             cdt = (jnp.dtype(compute_dtype) if compute_dtype != "auto"
                    else (jnp.bfloat16 if on_tpu else jnp.float32))
             op = binary_closing_matmul if impl == "matmul" else closing
-            return op(masks.astype(cdt), morphology_ksize).astype(
+            masks_f = op(masks.astype(cdt), morphology_ksize).astype(
                 jnp.float32)
+            weights = jnp.where(
+                valid[:, :, None, None],
+                masks_f * cand_scores[:, :, None, None],
+                0.0,
+            )
+            best_k = jnp.argmax(weights, axis=1)              # (B, H, W)
+            best_w = jnp.max(weights, axis=1)
+            # class lookup via arithmetic select over the tiny K dim (a
+            # gather along a middle axis lowers poorly on TPU: ~11ms -> ~0
+            # for batch 16)
+            pred = jnp.zeros((b, image_size, image_size), jnp.int32)
+            for k in range(candidate_classes):
+                pred = jnp.where(best_k == k, cand_idx[:, k, None, None],
+                                 pred)
+            pred = jnp.where(best_w > 0, pred, 0).astype(jnp.int32)
+            return pred, best_w
 
-        # TPU lane: the whole mean-field loop AND the closing run in one
-        # Pallas kernel (ops/crf_fused.py — kernel matrix built in VMEM, d
-        # resident across iterations; the in-kernel closing is the same
-        # banded-matmul count closing, exact on 0/1 masks). Knob gating:
-        # only when both the CRF backend and morphology impl are left on
-        # 'auto' (pinned knobs keep the separate stages for A/B lanes).
-        from simseg_tpu.ops.crf_fused import fused_eligible, mean_field_fused
+        # TPU lane: mean-field loop, closing AND the decode tail run in one
+        # Pallas kernel (ops/crf_fused.py seg_decode_tail_fused — kernel
+        # matrix built in VMEM, d resident across iterations, coarse unary
+        # upsampled in VMEM, per-class score weighting folded into a running
+        # argmax; only pred/best_weight leave the chip). Bit-identical math
+        # to the unfused chain (strict '>' preserves argmax's first-
+        # occurrence tie rule). Knob gating: only when both the CRF backend
+        # and morphology impl are left on 'auto' (pinned knobs keep the
+        # separate stages for A/B lanes).
+        from simseg_tpu.ops.crf_fused import (
+            fused_eligible,
+            seg_decode_tail_fused,
+        )
 
         if (crf_backend == "auto" and morphology_impl == "auto"
                 and fused_eligible(image_size, image_size, bilateral_stride)):
             def _fused_tpu():
                 cdt = (jnp.dtype(compute_dtype) if compute_dtype != "auto"
                        else jnp.bfloat16)
-                return mean_field_fused(
-                    du, raw_images, num_iters=crf_iters,
+                scores_eff = jnp.where(valid, cand_scores, 0.0).astype(
+                    jnp.float32)
+                return seg_decode_tail_fused(
+                    du_coarse, raw_images, scores_eff,
+                    cand_idx.astype(jnp.int32),
+                    du_factor=patch_size, num_iters=crf_iters,
                     stride=bilateral_stride,
                     closing_ksize=morphology_ksize,
                     compute_dtype=cdt,
-                ).astype(jnp.float32)
+                )
 
-            masks_f = jax.lax.platform_dependent(
+            return jax.lax.platform_dependent(
                 tpu=_fused_tpu,
                 default=lambda: _unfused(False),
             )
-        elif morphology_impl == "auto" or compute_dtype == "auto":
-            masks_f = jax.lax.platform_dependent(
+        if morphology_impl == "auto" or compute_dtype == "auto":
+            return jax.lax.platform_dependent(
                 tpu=lambda: _unfused(True),
                 default=lambda: _unfused(False),
             )
-        else:
-            # both knobs pinned: on_tpu only affects 'auto' resolution
-            masks_f = _unfused(False)
-        weights = jnp.where(
-            valid[:, :, None, None],
-            masks_f * cand_scores[:, :, None, None],
-            0.0,
-        )
-
-        best_k = jnp.argmax(weights, axis=1)                  # (B, H, W)
-        best_w = jnp.max(weights, axis=1)
-        # class lookup via arithmetic select over the tiny K dim (a gather
-        # along a middle axis lowers poorly on TPU: ~11ms -> ~0 for batch 16)
-        pred = jnp.zeros((b, image_size, image_size), jnp.int32)
-        for k in range(candidate_classes):
-            pred = jnp.where(best_k == k, cand_idx[:, k, None, None], pred)
-        pred = jnp.where(best_w > 0, pred, 0).astype(jnp.int32)
-        return pred, best_w
+        # both knobs pinned: on_tpu only affects 'auto' resolution
+        return _unfused(False)
 
     return decode

@@ -107,3 +107,44 @@ def test_auto_resolution_prefers_fused_on_tpu():
     assert _resolve_bilateral_impl("auto", 288, 288, 4, True) == "pallas"
     assert _resolve_bilateral_impl("auto", 288, 288, 8, False) == "xla"
     assert _resolve_bilateral_impl("pallas", 288, 288, 8, True) == "pallas"
+
+
+def test_decode_tail_kernel_matches_unfused_chain():
+    """seg_decode_tail_fused == [mean_field_fused masks -> XLA weights ->
+    argmax -> class select] bit-for-bit: both run the same in-kernel CRF,
+    so the tail fusion (in-VMEM coarse-unary upsample, running score-
+    weighted argmax) must be EXACTLY the unfused chain, including invalid
+    candidates (score 0), negative scores, and argmax's first-occurrence
+    tie rule."""
+    from simseg_tpu.ops.crf_fused import seg_decode_tail_fused
+    from simseg_tpu.ops.morphology import nearest_upsample
+
+    rng = np.random.default_rng(11)
+    b, k, gh, f, s = 2, 4, 8, 4, 4          # 32x32 fine grid
+    h = gh * f
+    du_c = jnp.asarray(
+        rng.normal(0.0, 3.0, (b, k, gh, gh)).astype(np.float32))
+    rgb = jnp.asarray(rng.integers(0, 255, (b, h, h, 3)).astype(np.float32))
+    # scores: one invalid (0), one negative, one duplicated (tie exercise)
+    scores = np.array([[0.0, 0.31, 0.31, -0.2],
+                       [0.5, 0.0, 0.25, 0.25]], np.float32)
+    cand_idx = np.array([[3, 7, 1, 2], [4, 0, 9, 6]], np.int32)
+
+    du_fine = nearest_upsample(du_c, f)
+    masks = mean_field_fused(du_fine, rgb, stride=s, closing_ksize=7,
+                             compute_dtype=jnp.float32, interpret=True)
+    weights = masks.astype(jnp.float32) * scores[:, :, None, None]
+    best_k = jnp.argmax(weights, axis=1)
+    bw_ref = jnp.max(weights, axis=1)
+    pred_ref = jnp.zeros((b, h, h), jnp.int32)
+    for kk in range(k):
+        pred_ref = jnp.where(best_k == kk, cand_idx[:, kk, None, None],
+                             pred_ref)
+    pred_ref = jnp.where(bw_ref > 0, pred_ref, 0)
+
+    pred, bw = seg_decode_tail_fused(
+        du_c, rgb, jnp.asarray(scores), jnp.asarray(cand_idx),
+        du_factor=f, stride=s, closing_ksize=7,
+        compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(pred_ref))
+    np.testing.assert_array_equal(np.asarray(bw), np.asarray(bw_ref))

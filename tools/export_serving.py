@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--vocab_file", default="")
     ap.add_argument("--platforms", default="",
                     help="comma-separated lowering targets, e.g. 'tpu'")
+    ap.add_argument("--calib_images", type=int, default=32,
+                    help="int8_static: number of calibration images when "
+                         "--calib_npy is not given (random data; use real "
+                         "images for production)")
+    ap.add_argument("--calib_npy", default="",
+                    help="int8_static: .npy of (N, size, size, 3) f32 "
+                         "images for activation-scale calibration")
     ap.add_argument("--weights", choices=("baked", "separate"),
                     default="baked",
                     help="'baked': weights are constants in one artifact; "
@@ -71,6 +78,40 @@ def main() -> None:
         params = load_pretrained_params(args.ckpt_path, params, cfg)
     else:
         print("WARNING: no --ckpt_path, exporting randomly initialized weights")
+
+    # int8_static towers need the calibrated 'quant' collection (cached
+    # int8 weights + static activation scales) BEFORE staging — the
+    # artifact bakes it, so served int8 numerics == evaluated numerics
+    # (ops/quant.py cache_quant_state; uncalibrated exports refuse loudly)
+    def _quant_of(enc):
+        return dict(enc.get("arch", {}) or {}).get("quant", "none") or "none"
+
+    quants = {_quant_of(cfg.model.image_encoder),
+              _quant_of(cfg.model.text_encoder)}
+    if quants - {"none"}:
+        from simseg_tpu.ops.quant import cache_quant_state
+
+        rng = np.random.default_rng(0)
+        if args.calib_npy:
+            imgs = np.load(args.calib_npy).astype(np.float32)
+        else:
+            print("WARNING: calibrating int8 activation scales on random "
+                  "data; pass --calib_npy with representative images for "
+                  "production exports")
+            imgs = rng.normal(size=(args.calib_images, size, size, 3)
+                              ).astype(np.float32)
+        calls = []
+        for i in range(0, len(imgs), 8):
+            calls.append(((jnp.asarray(imgs[i:i + 8]),),
+                          {"method": lambda m, im: m.forward_image_tokens(im)}))
+        if _quant_of(cfg.model.text_encoder) != "none":
+            ids = jnp.asarray(rng.integers(
+                0, 100, (8, cfg.model.max_length)).astype(np.int32))
+            mask = jnp.ones_like(ids)
+            calls.append(((), {"method":
+                               lambda m, i=ids, a=mask: m.forward_text_feature(i, a)}))
+        params = cache_quant_state(model, params, calls)
+        print(f"calibrated int8 quant state on {len(imgs)} images")
     platforms = [p for p in args.platforms.split(",") if p] or None
 
     if args.kind == "seg":
