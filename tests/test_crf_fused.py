@@ -148,3 +148,26 @@ def test_decode_tail_kernel_matches_unfused_chain():
         compute_dtype=jnp.float32, interpret=True)
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(pred_ref))
     np.testing.assert_array_equal(np.asarray(bw), np.asarray(bw_ref))
+
+
+def test_seg_decode_tpu_export_bakes_fused_kernel():
+    """Cross-platform serving: exporting the decode for platforms=('tpu',)
+    from a CPU host must stage the fused Mosaic kernel (the lane live TPU
+    eval runs), while the CPU lowering stays kernel-free XLA."""
+    from jax import export as jexport
+
+    from simseg_tpu.ops.seg_decode import make_seg_decode_fn
+
+    decode = make_seg_decode_fn(5, 32, 8, 3, 3, bilateral_stride=4)
+    args = (
+        jax.ShapeDtypeStruct((2, 16, 32), jnp.float32),
+        jax.ShapeDtypeStruct((2, 32), jnp.float32),
+        jax.ShapeDtypeStruct((5, 32), jnp.float32),
+        jax.ShapeDtypeStruct((2, 32, 32, 3), jnp.uint8),
+    )
+    tpu_mod = jexport.export(jax.jit(decode), platforms=("tpu",))(
+        *args).mlir_module()
+    assert "tpu_custom_call" in tpu_mod
+    cpu_mod = jexport.export(jax.jit(decode), platforms=("cpu",))(
+        *args).mlir_module()
+    assert "tpu_custom_call" not in cpu_mod
