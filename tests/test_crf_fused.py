@@ -171,3 +171,20 @@ def test_seg_decode_tpu_export_bakes_fused_kernel():
     cpu_mod = jexport.export(jax.jit(decode), platforms=("cpu",))(
         *args).mlir_module()
     assert "tpu_custom_call" not in cpu_mod
+
+
+def test_fused_multiblock_kmat_build():
+    """N > 512 exercises the blocked kernel-matrix build loop (the
+    production stride-8 shape builds 9 blocks of 144 rows); agreement with
+    the XLA lane like the single-block case."""
+    rng = np.random.default_rng(13)
+    b, k, h, w = 1, 2, 96, 96                      # N = 576 -> blk 192
+    p = rng.uniform(0.02, 0.98, (b, k, h, w))
+    du = jnp.asarray(_du(p))
+    rgb = jnp.asarray(rng.integers(0, 255, (b, h, w, 3)).astype(np.float32))
+    want = np.asarray(dense_crf_batched_du(
+        du, rgb, bilateral_stride=4, bilateral_impl="xla",
+        compute_dtype="float32"))
+    got = np.asarray(mean_field_fused(
+        du, rgb, stride=4, compute_dtype=jnp.float32, interpret=True))
+    assert (want == got.astype(np.int32)).mean() >= 0.995

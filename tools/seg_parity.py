@@ -435,7 +435,8 @@ def build_fixture(root, n_images: int, n_classes: int, seed: int,
 def make_parity_cfg(root, n_images: int, size: int = 288,
                     batch_size_val: int = 2, tome_r: int = 0,
                     quant: str = "none", stride: int = 8,
-                    quant_towers: str = "both", tome_schedule=None):
+                    quant_towers: str = "both", tome_schedule=None,
+                    crf_backend: str = "auto"):
     from simseg_tpu.config import new_base_cfg, update_cfg
     from simseg_tpu.tasks.clip.config import task_cfg_init_fn
 
@@ -490,6 +491,9 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
         # torch reference side is exact/stride-free either way, so coarser
         # strides are priced directly against the exact decode)
         f"seg_eval.bilateral_stride={int(stride)}",
+        # CRF lane pin (A/B: 'auto' -> the fused Pallas kernel on TPU;
+        # 'xla' -> the materialized-kernel lane the round-4 numbers used)
+        f"seg_eval.crf_backend={crf_backend}",
         f"transforms.input_size={size}",
         f"transforms.resize.size={size}",
         "transforms.valid_transforms=[resize]",
@@ -499,7 +503,8 @@ def make_parity_cfg(root, n_images: int, size: int = 288,
 def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
                size: int = 288, root=None, tome_r: int = 0,
                quant: str = "none", stride: int = 8,
-               quant_towers: str = "both", tome_schedule=None) -> dict:
+               quant_towers: str = "both", tome_schedule=None,
+               crf_backend: str = "auto") -> dict:
     """Run both pipelines on the same fixture; return the metric dict.
     Owns (and removes) a temp fixture dir unless ``root`` is given."""
     owns_root = root is None
@@ -507,7 +512,8 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
         root = tempfile.mkdtemp(prefix="seg_parity_")
     try:
         return _run_parity(root, n_images, n_classes, seed, size, tome_r,
-                           quant, stride, quant_towers, tome_schedule)
+                           quant, stride, quant_towers, tome_schedule,
+                           crf_backend)
     finally:
         if owns_root:
             import shutil
@@ -517,7 +523,7 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
 
 def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
                 quant="none", stride=8, quant_towers="both",
-                tome_schedule=None) -> dict:
+                tome_schedule=None, crf_backend="auto") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -538,7 +544,8 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
                                           size)
     cfg = make_parity_cfg(root, n_images, size, tome_r=tome_r, quant=quant,
                           stride=stride, quant_towers=quant_towers,
-                          tome_schedule=tome_schedule)
+                          tome_schedule=tome_schedule,
+                          crf_backend=crf_backend)
 
     # shared tokenizer: specials + every word the prompt bank and class
     # names can produce
@@ -731,6 +738,8 @@ def main():
     ap.add_argument("--stride", type=int, default=8,
                     help="CRF bilateral stride (coarser = faster decode; "
                          "priced against the exact stride-free reference)")
+    ap.add_argument("--crf_backend", type=str, default="auto",
+                    help="pin the CRF lane (auto|fused|xla|pallas)")
     ap.add_argument("--quant_towers", type=str, default="both",
                     choices=["both", "image"],
                     help="which towers --quant applies to; 'image' matches "
@@ -752,7 +761,8 @@ def main():
                            tome_r=args.tome_r, quant=args.quant,
                            stride=args.stride,
                            quant_towers=args.quant_towers,
-                           tome_schedule=sched)
+                           tome_schedule=sched,
+                           crf_backend=args.crf_backend)
             r.pop("per_image", None)
             runs.append(r)
             print(json.dumps(r), flush=True)
@@ -779,7 +789,7 @@ def main():
     out = run_parity(args.images, args.classes, args.seed, args.size,
                      tome_r=args.tome_r, quant=args.quant,
                      stride=args.stride, quant_towers=args.quant_towers,
-                     tome_schedule=sched)
+                     tome_schedule=sched, crf_backend=args.crf_backend)
     print(json.dumps(out))
 
 
