@@ -114,21 +114,8 @@ def make_seg_decode_fn(
         # cross-platform serving exports bake the right lane per target):
         # matmul on TPU, window elsewhere. bf16 vs f32 closing is
         # bit-identical on 0/1 masks, so both knobs are pure speed choices.
-        def _unfused(on_tpu):
-            du = nearest_upsample(du_coarse, patch_size)       # (B, K, H, W)
-            masks = dense_crf_batched_du(
-                du, raw_images, num_iters=crf_iters,
-                bilateral_stride=bilateral_stride,
-                bilateral_impl=crf_backend,
-                compute_dtype=compute_dtype,
-            )                                                  # (B, K, H, W)
-            impl = (morphology_impl if morphology_impl != "auto"
-                    else ("matmul" if on_tpu else "window"))
-            cdt = (jnp.dtype(compute_dtype) if compute_dtype != "auto"
-                   else (jnp.bfloat16 if on_tpu else jnp.float32))
-            op = binary_closing_matmul if impl == "matmul" else closing
-            masks_f = op(masks.astype(cdt), morphology_ksize).astype(
-                jnp.float32)
+        def _tail(masks_f):
+            """weights -> argmax -> class select (shared by every lane)."""
             weights = jnp.where(
                 valid[:, :, None, None],
                 masks_f * cand_scores[:, :, None, None],
@@ -146,25 +133,45 @@ def make_seg_decode_fn(
             pred = jnp.where(best_w > 0, pred, 0).astype(jnp.int32)
             return pred, best_w
 
-        # TPU lane: mean-field loop, closing AND the decode tail run in one
-        # Pallas kernel (ops/crf_fused.py seg_decode_tail_fused — kernel
-        # matrix built in VMEM, d resident across iterations, coarse unary
-        # upsampled in VMEM, per-class score weighting folded into a running
-        # argmax; only pred/best_weight leave the chip). Bit-identical math
-        # to the unfused chain (strict '>' preserves argmax's first-
-        # occurrence tie rule). Knob gating: only when both the CRF backend
-        # and morphology impl are left on 'auto' (pinned knobs keep the
-        # separate stages for A/B lanes).
+        def _unfused(on_tpu):
+            du = nearest_upsample(du_coarse, patch_size)       # (B, K, H, W)
+            masks = dense_crf_batched_du(
+                du, raw_images, num_iters=crf_iters,
+                bilateral_stride=bilateral_stride,
+                bilateral_impl=crf_backend,
+                compute_dtype=compute_dtype,
+            )                                                  # (B, K, H, W)
+            impl = (morphology_impl if morphology_impl != "auto"
+                    else ("matmul" if on_tpu else "window"))
+            cdt = (jnp.dtype(compute_dtype) if compute_dtype != "auto"
+                   else (jnp.bfloat16 if on_tpu else jnp.float32))
+            op = binary_closing_matmul if impl == "matmul" else closing
+            return _tail(op(masks.astype(cdt), morphology_ksize).astype(
+                jnp.float32))
+
         from simseg_tpu.ops.crf_fused import (
             fused_eligible,
+            mean_field_fused,
             seg_decode_tail_fused,
         )
 
-        if (crf_backend == "auto" and morphology_impl == "auto"
+        def _cdt():
+            return (jnp.dtype(compute_dtype) if compute_dtype != "auto"
+                    else jnp.bfloat16)
+
+        # OPT-IN full-tail kernel (crf_backend='fused_tail'): CRF + closing
+        # + score-weighted argmax all in one Pallas kernel
+        # (seg_decode_tail_fused). Bit-identical to the unfused chain when
+        # called standalone AND in replicated pipelines, but the round-5
+        # hardware session measured a deterministic in-situ divergence in
+        # THIS decode (87-79% pred agreement vs the xla lane on parity
+        # scenes) that every attempted minimal reproduction — same data,
+        # same nesting, same platform_dependent structure, heavy default
+        # branch, inner jit — fails to reproduce (100% everywhere). Until
+        # that is root-caused the certified TPU lane fuses CRF+closing only.
+        if (crf_backend == "fused_tail"
                 and fused_eligible(image_size, image_size, bilateral_stride)):
-            def _fused_tpu():
-                cdt = (jnp.dtype(compute_dtype) if compute_dtype != "auto"
-                       else jnp.bfloat16)
+            def _fused_tail_tpu():
                 scores_eff = jnp.where(valid, cand_scores, 0.0).astype(
                     jnp.float32)
                 return seg_decode_tail_fused(
@@ -173,8 +180,34 @@ def make_seg_decode_fn(
                     du_factor=patch_size, num_iters=crf_iters,
                     stride=bilateral_stride,
                     closing_ksize=morphology_ksize,
-                    compute_dtype=cdt,
+                    compute_dtype=_cdt(),
                 )
+
+            return jax.lax.platform_dependent(
+                tpu=_fused_tail_tpu,
+                default=lambda: _unfused(False),
+            )
+
+        # Default TPU lane: the mean-field loop AND the closing run in one
+        # Pallas kernel (ops/crf_fused.py mean_field_fused — kernel matrix
+        # built in VMEM, d resident across all iterations, banded-matmul
+        # closing before masks leave the chip); the score-weighting/argmax
+        # tail stays XLA. In-pipeline verified against the xla lane on the
+        # real parity scenes (99.9% mask agreement) and certified by
+        # tools/seg_parity.py. Knob gating: both the CRF backend and
+        # morphology impl left on 'auto' (pinned knobs keep the separate
+        # stages for A/B lanes).
+        if (crf_backend == "auto" and morphology_impl == "auto"
+                and fused_eligible(image_size, image_size, bilateral_stride)):
+            def _fused_tpu():
+                du = nearest_upsample(du_coarse, patch_size)
+                masks_f = mean_field_fused(
+                    du, raw_images, num_iters=crf_iters,
+                    stride=bilateral_stride,
+                    closing_ksize=morphology_ksize,
+                    compute_dtype=_cdt(),
+                ).astype(jnp.float32)
+                return _tail(masks_f)
 
             return jax.lax.platform_dependent(
                 tpu=_fused_tpu,
