@@ -22,6 +22,9 @@ import pytest
 sys.path.insert(0, ".")
 
 from tools.seg_parity import (  # noqa: E402
+    PARITY_CLASSES,
+    build_fixture,
+    candidate_decision,
     crf_image_state,
     exact_dense_crf_palette,
     render_scene,
@@ -63,6 +66,91 @@ def test_render_scene_palette_and_label_consistency():
     colors = np.unique(img.reshape(-1, 3), axis=0)
     assert len(colors) <= 3 * 6
     assert set(np.unique(label)) <= set(range(6))
+
+
+def test_candidate_decision_selection_and_margin():
+    """candidate_decision reproduces the reference's selection loop
+    (tools/seg_evaluation.py:119-134 semantics: top-k shortlist, mean+std
+    threshold, skip 0/255, break at first below-threshold slot, cap 5) and
+    reports the min |score - threshold| over every examined slot."""
+    # crafted: class 3 clearly above, class 5 marginal, rest below
+    scores = np.array([0.90, 0.10, 0.12, 0.80, 0.11, 0.50, 0.13, 0.09])
+    chosen, margin = candidate_decision(scores, 8, 10)
+    order = np.argsort(-scores)[:8]
+    top = scores[order]
+    threshold = top.mean() + top.std(ddof=1)
+    want, want_margin = [], np.inf
+    for idx in order[:5]:
+        if idx in (0, 255):
+            continue
+        want_margin = min(want_margin, abs(scores[idx] - threshold))
+        if scores[idx] < threshold:
+            break
+        want.append(int(idx))
+    assert chosen == want
+    assert margin == pytest.approx(want_margin)
+    # margin semantics: nudging every examined score AWAY from the
+    # threshold by less than the margin cannot change the selection
+    assert all(abs(scores[i] - threshold) >= margin for i in order[:5]
+               if i not in (0, 255))
+
+
+def test_aligned_fixture_pins_model_and_screens(tmp_path):
+    """fixture='aligned' pins the tower weights across scene seeds (only
+    the scene stream varies), and screen_margin-accepted scenes re-score
+    above the margin with non-empty candidate sets on the torch side."""
+    import torch
+
+    from tools.seg_parity import (
+        _make_parity_model,
+        make_parity_tokenizer,
+        torch_pooled_scores,
+        torch_text_bank,
+    )
+
+    size, n_cls, margin = 96, 16, 1e-4
+    roots = [tmp_path / "a", tmp_path / "b"]
+    ckpts = []
+    for root, seed in zip(roots, (3, 7)):
+        root.mkdir()
+        classes, tmodel, ckpt = build_fixture(
+            str(root), 2, n_cls, seed, size, screen_margin=margin,
+            fixture="aligned")
+        ckpts.append(torch.load(ckpt, weights_only=True)["state_dict"])
+        assert build_fixture.last_tries >= 2
+    # model pinned to model_seed=0: identical weights for both scene seeds
+    for k in ckpts[0]:
+        assert torch.equal(ckpts[0][k], ckpts[1][k]), k
+
+    # accepted scenes re-score above the margin (deterministic model)
+    classes = PARITY_CLASSES[:n_cls]
+    tmodel = _make_parity_model(size, 0)
+    sd = {k: v for k, v in ckpts[0].items()}
+    tmodel.load_state_dict(sd)
+    tok = make_parity_tokenizer(classes)
+    bank = torch_text_bank(tmodel, tok, classes, 25)
+    from PIL import Image
+
+    voc = roots[0] / "VOCdevkit" / "VOC2012" / "JPEGImages"
+    for f in sorted(voc.iterdir()):
+        img = np.asarray(Image.open(f).convert("RGB"))
+        scores = torch_pooled_scores(tmodel, bank, img)
+        chosen, m = candidate_decision(scores, n_cls, 10)
+        assert chosen and m >= margin, (f.name, chosen, m)
+
+    # the aligned text bank actually separates classes vs the random tower
+    rand = _make_parity_model(size, 0)
+    rand_bank = torch_text_bank(rand, tok, classes, 25)
+    def offdiag(b):
+        c = b @ b.T
+        return float(c[~np.eye(len(c), dtype=bool)].mean())
+    assert offdiag(bank) < offdiag(rand_bank) - 0.02
+
+
+def test_screened_fixture_refuses_unreachable_margin(tmp_path):
+    with pytest.raises(RuntimeError, match="screened fixture"):
+        build_fixture(str(tmp_path), 2, 8, 0, 96, screen_margin=0.5,
+                      fixture="aligned")
 
 
 @pytest.mark.slow

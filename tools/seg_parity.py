@@ -37,6 +37,13 @@ Reported metrics (JSON on stdout):
 
 Usage:
     python tools/seg_parity.py [--images 8] [--classes 8] [--seed 0]
+
+Platform: this environment's sitecustomize pins JAX to the tunneled TPU
+regardless of the JAX_PLATFORMS env var (the var is overridden before user
+code runs), so by default the flax side runs on the real chip — the
+certification-grade lane. Set SIMSEG_PARITY_PLATFORM=cpu for a
+tunnel-independent CPU screen (the round-3/4 proxy lane, agrees with the
+TPU lane to ~0.1 pp).
 """
 
 from __future__ import annotations
@@ -50,6 +57,13 @@ import tempfile
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_plat = os.environ.get("SIMSEG_PARITY_PLATFORM", "")
+if _plat:
+    # must precede backend init; sitecustomize's pin wins over JAX_PLATFORMS
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
 
 # --------------------------------------------------------------------------
 # Exact dense CRF for palette-limited images (numpy, FFT)
@@ -264,6 +278,71 @@ def render_scene(rng: np.random.Generator, size: int, gt_size, n_classes: int,
 # --------------------------------------------------------------------------
 
 
+def torch_text_bank(tmodel, tok, class_bank_texts, max_length: int = 25):
+    """Zero-shot classifier bank on the torch reference side (reference
+    ``tools/seg_evaluation.py:57-75``): per class, the L2-normed mean of the
+    80 prompt embeddings."""
+    import torch
+    import torch.nn.functional as F
+
+    from simseg_tpu.utils.prompts import openai_imagenet_template
+    from tests.torch_reference import torch_topk_pool
+
+    bank = []
+    with torch.no_grad():
+        for cls in class_bank_texts:
+            enc = tok(openai_imagenet_template(cls), padding="max_length",
+                      truncation=True, max_length=max_length)
+            ids = torch.tensor(enc["input_ids"])
+            msk = torch.tensor(enc["attention_mask"])
+            tokens = tmodel.text_encoder.model(ids, msk)
+            emb = torch_topk_pool(tmodel.text_projection.linear(tokens), 1, msk)
+            emb = F.normalize(emb, dim=-1).mean(0)
+            bank.append((emb / emb.norm()).numpy())
+    return np.stack(bank)
+
+
+def torch_pooled_scores(tmodel, bank, img_u8, image_k: int = 5):
+    """Global class scores for one image on the torch reference side (the
+    mean+std candidate-threshold inputs, reference :119-124)."""
+    import torch
+    import torch.nn.functional as F
+
+    from tests.torch_reference import torch_topk_pool
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    x = (img_u8.astype(np.float32) / 255.0 - mean) / std
+    xt = torch.tensor(x.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        tokens = tmodel.image_encoder.model.model(xt)[:, 1:]
+        proj = tmodel.image_projection.linear(tokens)
+        pooled = F.normalize(torch_topk_pool(proj, image_k), dim=-1)
+    return bank @ pooled[0].numpy()
+
+
+def candidate_decision(scores, num_classes: int, top_cls_num: int):
+    """The reference's discrete candidate selection (:119-134) plus its
+    decision margin: the smallest |score - threshold| over every examined
+    candidate slot. A scene whose margin is ~0 flips its whole candidate set
+    under infinitesimal numeric jitter (bf16 vs f32 towers) — such scenes
+    measure coin flips, not pipeline quality."""
+    top_k = min(top_cls_num, num_classes)
+    order = np.argsort(-scores)[:top_k]
+    top = scores[order]
+    threshold = top.mean() + top.std(ddof=1)
+    chosen = []
+    margin = np.inf
+    for idx in order[:5]:
+        if idx in (0, 255):
+            continue
+        margin = min(margin, abs(float(scores[idx]) - float(threshold)))
+        if scores[idx] < threshold:
+            break
+        chosen.append(int(idx))
+    return chosen, float(margin)
+
+
 def torch_production_eval(tmodel, tok, batches, class_bank_texts,
                           num_classes: int, top_cls_num: int,
                           max_length: int = 25, image_k: int = 5,
@@ -279,27 +358,12 @@ def torch_production_eval(tmodel, tok, batches, class_bank_texts,
     import torch
     import torch.nn.functional as F
 
-    from simseg_tpu.utils.prompts import openai_imagenet_template
-
     crf_kwargs = crf_kwargs or {}
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
 
     # zero-shot classifier (:57-75)
-    bank = []
-    with torch.no_grad():
-        for cls in class_bank_texts:
-            enc = tok(openai_imagenet_template(cls), padding="max_length",
-                      truncation=True, max_length=max_length)
-            ids = torch.tensor(enc["input_ids"])
-            msk = torch.tensor(enc["attention_mask"])
-            tokens = tmodel.text_encoder.model(ids, msk)
-            from tests.torch_reference import torch_topk_pool
-
-            emb = torch_topk_pool(tmodel.text_projection.linear(tokens), 1, msk)
-            emb = F.normalize(emb, dim=-1).mean(0)
-            bank.append((emb / emb.norm()).numpy())
-    bank = np.stack(bank)
+    bank = torch_text_bank(tmodel, tok, class_bank_texts, max_length)
 
     from tests.torch_reference import torch_topk_pool
 
@@ -379,14 +443,154 @@ PARITY_CLASSES = [
 ][:]
 
 
+def make_parity_tokenizer(classes):
+    """WordPiece tokenizer covering the prompt bank + class names (shared by
+    both sides)."""
+    import re as _re
+
+    from simseg_tpu.data.tokenizer import WordPieceTokenizer, make_test_vocab
+    from simseg_tpu.utils.prompts import IMAGENET_TEMPLATES
+
+    words = set()
+    for t in IMAGENET_TEMPLATES:
+        words.update(_re.findall(r"[a-z]+", t.format("x").lower()))
+    for c in classes:
+        words.update(_re.findall(r"[a-z]+", c.lower()))
+    tok = WordPieceTokenizer(make_test_vocab(sorted(words)))
+    assert max(tok.vocab.values()) < 256, "bump bert vocab_size"
+    return tok
+
+
+def _make_parity_model(size: int, model_seed: int):
+    """The bridged-tower fixture model: ViT-S/16 image tower (the published
+    simseg.vit-s architecture); mid-size BERT text tower (the bank builder —
+    bridging + naming parity for full BERT-base is covered by
+    test_real_transformers_bridge)."""
+    import torch
+
+    from tests.torch_reference import TorchTinyCLIP
+
+    torch.manual_seed(model_seed)
+    tmodel = TorchTinyCLIP(
+        proj_dim=512,
+        vit_kwargs=dict(img_size=size, patch=16, dim=384, depth=12, heads=6),
+        bert_kwargs=dict(vocab=256, dim=384, depth=6, heads=6, inter=1536,
+                         max_pos=64),
+    )
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            if p.ndim > 0:
+                p.add_(torch.randn_like(p) * 0.02)
+    return tmodel
+
+
+def _separate_text_classes(tmodel, tok, classes, alpha: float = 10.0):
+    """Amplify the class-name word-embedding rows of the text tower so the
+    class word actually influences each prompt's embedding.
+
+    A randomly-initialized text tower maps all 80-prompt class means to one
+    direction (measured 0.993 mean pairwise cosine): the template tokens
+    drown the single class-name token, so every decode decision differs by
+    ~1e-4 of cosine — the coin-flip regime. Real CLIP text towers separate
+    class names (that is what makes zero-shot segmentation work at all);
+    one in-place row scale restores that property without training, and the
+    scaled table rides the normal checkpoint bridge."""
+    import torch
+
+    ids = set()
+    for c in classes:
+        enc = tok([c], padding="max_length", truncation=True, max_length=25)
+        row, msk = enc["input_ids"][0], enc["attention_mask"][0]
+        toks = [t for t, m in zip(row, msk) if m]
+        ids.update(toks[1:-1])  # strip [CLS]/[SEP]
+    table = tmodel.text_encoder.model.model.embeddings.word_embeddings.weight
+    with torch.no_grad():
+        table[sorted(ids)] *= alpha
+
+
+def _align_image_projection(tmodel, bank, size: int, n_classes: int,
+                            model_seed: int, patch: int = 16,
+                            n_align_scenes: int = 6):
+    """Solve the image projection so patch projections align with each
+    class's text embedding (ridge least squares over alignment scenes).
+
+    Random towers give every decode decision a ~1e-4 score margin (all
+    class scores nearly equal) and featureless attention maps — the decode
+    then operates on coin flips, the regime the round-5 sweep showed blows
+    up pixel metrics without measuring quality. A production model has
+    informative attention (the reference's published 56 mIoU is only
+    possible because of it); one closed-form solve of the 384->512 linear
+    projection puts the fixture in that regime without training, and the
+    solved weight rides the normal checkpoint bridge like any other."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(982_451 + model_seed)
+    feats, targets = [], []
+    with torch.no_grad():
+        for _ in range(n_align_scenes):
+            img, label = render_scene(rng, size, (size, size), n_classes)
+            mean = np.array([0.485, 0.456, 0.406], np.float32)
+            std = np.array([0.229, 0.224, 0.225], np.float32)
+            x = (img.astype(np.float32) / 255.0 - mean) / std
+            xt = torch.tensor(x.transpose(2, 0, 1))[None]
+            tokens = tmodel.image_encoder.model.model(xt)[0, 1:].numpy()
+            patch_cls = label[patch // 2::patch, patch // 2::patch].reshape(-1)
+            feats.append(tokens)
+            targets.append(bank[patch_cls])
+    E = np.concatenate(feats, axis=0).astype(np.float64)
+    T = np.concatenate(targets, axis=0).astype(np.float64)
+    G = E.T @ E
+    lam = 1e-3 * np.trace(G) / G.shape[0]
+    W = np.linalg.solve(G + lam * np.eye(G.shape[0]), E.T @ T)  # (384, 512)
+    with torch.no_grad():
+        tmodel.image_projection.linear.weight.copy_(
+            torch.tensor(W.T, dtype=torch.float32))
+
+
 def build_fixture(root, n_images: int, n_classes: int, seed: int,
-                  size: int = 288):
+                  size: int = 288, screen_margin: float = 0.0,
+                  model_seed=None, max_length: int = 25,
+                  top_cls_num: int = 10, fixture: str = "random"):
     """VOC2012-layout fixture of palette scenes + the bridged ViT-S/16
-    checkpoint. Returns (classes, vocab, ckpt_path)."""
+    checkpoint. Returns (classes, tmodel, ckpt_path).
+
+    ``screen_margin > 0`` enables margin-screened generation (round-4
+    verdict #6, round-5 sweep finding): the torch model is pinned to
+    ``model_seed`` (default 0 — the certified tower) while scenes stream
+    from ``seed``; a scene is accepted only when the reference side's
+    candidate decision is non-empty and holds at least ``screen_margin`` of
+    score-threshold margin at every examined slot. Unscreened multi-seed
+    sweeps reseeded the random weights together with the scenes and
+    produced decision-unstable scenes (reference mIoU ~0.005) whose pixel
+    metrics measure coin flips, not pipeline quality
+    (output/parity_r5_sweep_*.log).
+
+    ``fixture='aligned'`` additionally solves the image projection to align
+    patch projections with the class text embeddings (the trained-model
+    regime — see ``_align_image_projection``); margins then sit 2-3 orders
+    of magnitude above numeric jitter and screening acceptance is high.
+    """
     import torch
     from PIL import Image
 
-    from tests.torch_reference import TorchTinyCLIP
+    if fixture not in ("random", "aligned"):
+        raise ValueError(f"unknown fixture mode {fixture!r} "
+                         "(random|aligned)")
+    classes = PARITY_CLASSES[:n_classes]
+    aligned = fixture == "aligned"
+    screening = screen_margin > 0.0
+    if model_seed is None:
+        model_seed = 0 if (screening or aligned) else seed
+    tmodel = _make_parity_model(size, model_seed)
+    bank = None
+    if screening or aligned:
+        tok = make_parity_tokenizer(classes)
+        if aligned:
+            _separate_text_classes(tmodel, tok, classes)
+        bank = torch_text_bank(tmodel, tok, classes, max_length)
+    if aligned:
+        _align_image_projection(tmodel, bank, size, n_classes, model_seed)
 
     rng = np.random.default_rng(seed)
     voc = os.path.join(root, "VOCdevkit", "VOC2012")
@@ -394,12 +598,27 @@ def build_fixture(root, n_images: int, n_classes: int, seed: int,
     os.makedirs(os.path.join(voc, "SegmentationClass"))
     os.makedirs(os.path.join(voc, "ImageSets", "Segmentation"))
     names = []
-    for i in range(n_images):
+    accepted, tried = 0, 0
+    max_tries = max(20 * n_images, 40)
+    while accepted < n_images:
         gt_h = int(rng.integers(320, 512))
         gt_w = int(rng.integers(320, 512))
         img, label = render_scene(rng, size, (gt_h, gt_w), n_classes)
-        n = f"2007_{i:06d}"
+        tried += 1
+        if screening:
+            if tried > max_tries:
+                raise RuntimeError(
+                    f"screened fixture: {accepted}/{n_images} scenes after "
+                    f"{tried} tries at margin {screen_margin} — lower the "
+                    "margin or inspect the generator")
+            scores = torch_pooled_scores(tmodel, bank, img)
+            chosen, margin = candidate_decision(scores, n_classes,
+                                                top_cls_num)
+            if not chosen or margin < screen_margin:
+                continue
+        n = f"2007_{accepted:06d}"
         names.append(n)
+        accepted += 1
         # PNG content under the .jpg name: both decode paths sniff magic
         # bytes, and JPEG's lossy DCT would break the palette the exact
         # CRF depends on
@@ -411,24 +630,9 @@ def build_fixture(root, n_images: int, n_classes: int, seed: int,
               "w") as f:
         f.write("\n".join(names))
 
-    classes = PARITY_CLASSES[:n_classes]
-
-    # ViT-S/16 image tower (the published simseg.vit-s architecture);
-    # mid-size BERT text tower (the bank builder — bridging + naming parity
-    # for full BERT-base is covered by test_real_transformers_bridge)
-    torch.manual_seed(seed)
-    tmodel = TorchTinyCLIP(
-        proj_dim=512,
-        vit_kwargs=dict(img_size=size, patch=16, dim=384, depth=12, heads=6),
-        bert_kwargs=dict(vocab=256, dim=384, depth=6, heads=6, inter=1536,
-                         max_pos=64),
-    )
-    with torch.no_grad():
-        for p in tmodel.parameters():
-            if p.ndim > 0:
-                p.add_(torch.randn_like(p) * 0.02)
     ckpt = os.path.join(root, "vit_s_parity.pth")
     torch.save({"state_dict": tmodel.state_dict()}, ckpt)
+    build_fixture.last_tries = tried  # screening-rate observability
     return classes, tmodel, ckpt
 
 
@@ -504,7 +708,8 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
                size: int = 288, root=None, tome_r: int = 0,
                quant: str = "none", stride: int = 8,
                quant_towers: str = "both", tome_schedule=None,
-               crf_backend: str = "auto") -> dict:
+               crf_backend: str = "auto",
+               screen_margin: float = 0.0, fixture: str = "random") -> dict:
     """Run both pipelines on the same fixture; return the metric dict.
     Owns (and removes) a temp fixture dir unless ``root`` is given."""
     owns_root = root is None
@@ -513,7 +718,7 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
     try:
         return _run_parity(root, n_images, n_classes, seed, size, tome_r,
                            quant, stride, quant_towers, tome_schedule,
-                           crf_backend)
+                           crf_backend, screen_margin, fixture)
     finally:
         if owns_root:
             import shutil
@@ -523,7 +728,8 @@ def run_parity(n_images: int = 8, n_classes: int = 8, seed: int = 0,
 
 def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
                 quant="none", stride=8, quant_towers="both",
-                tome_schedule=None, crf_backend="auto") -> dict:
+                tome_schedule=None, crf_backend="auto",
+                screen_margin=0.0, fixture="random") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -531,17 +737,16 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
 
     from simseg_tpu.checkpoint.torch_bridge import load_clip_checkpoint
     from simseg_tpu.data.datasets import build_seg_valid_loader
-    from simseg_tpu.data.tokenizer import WordPieceTokenizer, make_test_vocab
     from simseg_tpu.models.clip import build_clip_model
     from simseg_tpu.tasks.seg_eval import (
         make_seg_forward,
         zero_shot_classifier,
     )
     from simseg_tpu.utils.metrics import miou_from_totals
-    from simseg_tpu.utils.prompts import IMAGENET_TEMPLATES
 
     classes, tmodel, ckpt = build_fixture(root, n_images, n_classes, seed,
-                                          size)
+                                          size, screen_margin=screen_margin,
+                                          fixture=fixture)
     cfg = make_parity_cfg(root, n_images, size, tome_r=tome_r, quant=quant,
                           stride=stride, quant_towers=quant_towers,
                           tome_schedule=tome_schedule,
@@ -549,15 +754,7 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
 
     # shared tokenizer: specials + every word the prompt bank and class
     # names can produce
-    import re as _re
-
-    words = set()
-    for t in IMAGENET_TEMPLATES:
-        words.update(_re.findall(r"[a-z]+", t.format("x").lower()))
-    for c in classes:
-        words.update(_re.findall(r"[a-z]+", c.lower()))
-    tok = WordPieceTokenizer(make_test_vocab(sorted(words)))
-    assert max(tok.vocab.values()) < 256, "bump bert vocab_size"
+    tok = make_parity_tokenizer(classes)
 
     # ---- flax side (the production pipeline) ----
     model = build_clip_model(cfg)
@@ -618,18 +815,7 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
         return pooled.astype(jnp.float32)
 
     def candidate_set(scores):
-        top_k = min(top_cls_num, len(classes))
-        order = np.argsort(-scores)[:top_k]
-        top = scores[order]
-        threshold = top.mean() + top.std(ddof=1)
-        chosen = []
-        for idx in order[:5]:
-            if idx in (0, 255):
-                continue
-            if scores[idx] < threshold:
-                break
-            chosen.append(int(idx))
-        return chosen
+        return candidate_decision(scores, len(classes), top_cls_num)[0]
 
     loader = build_seg_valid_loader(cfg, "pascal_voc")
     batches = []
@@ -707,6 +893,9 @@ def _run_parity(root, n_images, n_classes, seed, size, tome_r=0,
         n_classes=n_classes,
         seed=seed,
         size=size,
+        fixture=fixture,
+        screen_margin=screen_margin,
+        scenes_tried=getattr(build_fixture, "last_tries", n_images),
         tome_r=tome_r,
         tome_schedule=list(tome_schedule) if tome_schedule else None,
         quant=quant,
@@ -751,6 +940,21 @@ def main():
                          "(round-4 verdict #6: a single 8-scene/1-seed "
                          "fixture is too narrow a base for the certifying "
                          "gates)")
+    ap.add_argument("--fixture", type=str, default="random",
+                    choices=["random", "aligned"],
+                    help="'aligned' solves the image projection so patch "
+                         "projections align with the class text bank (the "
+                         "trained-model regime: real margins, informative "
+                         "attention); 'random' is the legacy certified "
+                         "fixture")
+    ap.add_argument("--screen_margin", type=float, default=0.0,
+                    help="margin-screened scene generation: pin the model "
+                         "to seed 0, stream scenes from --seed(s), accept "
+                         "only scenes whose reference-side candidate "
+                         "decision is non-empty with >= this score-"
+                         "threshold margin at every examined slot (the "
+                         "round-5 sweep showed unscreened reseeding yields "
+                         "decision-unstable scenes that measure coin flips)")
     args = ap.parse_args()
     sched = (tuple(int(x) for x in args.tome_schedule.split(","))
              if args.tome_schedule else None)
@@ -762,7 +966,9 @@ def main():
                            stride=args.stride,
                            quant_towers=args.quant_towers,
                            tome_schedule=sched,
-                           crf_backend=args.crf_backend)
+                           crf_backend=args.crf_backend,
+                           screen_margin=args.screen_margin,
+                           fixture=args.fixture)
             r.pop("per_image", None)
             runs.append(r)
             print(json.dumps(r), flush=True)
@@ -775,6 +981,9 @@ def main():
         # <0.5 mIoU pt, <2 class-IoU pt) at the WORST seed
         agg = dict(
             aggregate=True, n_scenes=n_scenes, seeds=args.seeds,
+            fixture=args.fixture, screen_margin=args.screen_margin,
+            scenes_tried=sum(r.get("scenes_tried", args.images)
+                             for r in runs),
             pixel_mean=float(np.mean(pix)), pixel_worst=float(np.max(pix)),
             miou_delta_mean=float(np.mean(miou_d)),
             miou_delta_worst=float(np.max(miou_d)),
@@ -789,7 +998,9 @@ def main():
     out = run_parity(args.images, args.classes, args.seed, args.size,
                      tome_r=args.tome_r, quant=args.quant,
                      stride=args.stride, quant_towers=args.quant_towers,
-                     tome_schedule=sched, crf_backend=args.crf_backend)
+                     tome_schedule=sched, crf_backend=args.crf_backend,
+                     screen_margin=args.screen_margin,
+                     fixture=args.fixture)
     print(json.dumps(out))
 
 
